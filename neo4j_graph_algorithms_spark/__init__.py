@@ -1,0 +1,33 @@
+"""PySpark-native link-graph analytics engine.
+
+From-scratch re-expression of the query semantics of
+vitorhorta/neo4j-graph-algorithms (Neo4j 3.x graph-algorithms
+procedures) on the Spark DataFrame API: graphs are edge DataFrames,
+algorithms are superstep loops of join + aggregate, results are
+DataFrames.  See SURVEY.md for the blueprint and file:line parity
+citations in each module.
+"""
+
+from .graph import Graph
+from .session import get_spark
+from .operators import (
+    pagerank,
+    wcc,
+    label_propagation,
+    triangle_count,
+    triangle_stream,
+    clustering_coefficients,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Graph",
+    "get_spark",
+    "pagerank",
+    "wcc",
+    "label_propagation",
+    "triangle_count",
+    "triangle_stream",
+    "clustering_coefficients",
+]

@@ -1,0 +1,243 @@
+"""Graph abstraction: two DataFrames instead of an in-memory snapshot.
+
+The reference engine's core abstraction is an immutable adjacency
+snapshot loaded out of Neo4j (``core/src/main/java/org/neo4j/graphalgo/
+api/Graph.java:27`` — IdMapping + Degrees + iterate-neighbors).  Here a
+graph is just:
+
+- ``edges``    : DataFrame ``(src long, dst long, weight double)``
+- ``vertices`` : DataFrame ``(id long, ...optional property columns)``
+
+kept distributed end-to-end.  Dense-id remapping (``IdMap.java:36-40``)
+is unnecessary for DataFrame joins — ids stay ``long`` — but a
+deterministic dense mapping is available for positional/bitmask kernels
+(``dense_ids``).  Degrees are DataFrames (``edges.groupBy(src).count``),
+not arrays; "load direction" (``GraphLoader.withDirection``,
+``GraphLoader.java:203-296``) becomes edge-table reversal / union.
+
+CSR-style adjacency blocks (``HugeGraphFactory.java:360-395`` builds a
+delta-compressed CSR) map to an ``adjacency()`` DataFrame
+``(src, salt, dsts array<long>, degree)`` — range/hash-partitioned by
+``src`` and *salted*: a hub vertex with out-degree above
+``hub_degree`` is split across several rows so no single task owns a
+whole hub row (the north rule's "salted, range-partitioned CSR-style
+adjacency blocks" / explicit skew handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EDGE_COLS = ("src", "dst", "weight")
+
+
+class Graph:
+    """Immutable wrapper around a normalized edge DataFrame."""
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        vertices: DataFrame | None = None,
+        default_weight: float = 1.0,
+    ):
+        self.spark: SparkSession = edges.sparkSession
+        self.default_weight = float(default_weight)
+        cols = edges.columns
+        if "weight" not in cols:
+            edges = edges.withColumn("weight", F.lit(self.default_weight))
+        self.edges = (
+            edges.select(
+                F.col("src").cast("long").alias("src"),
+                F.col("dst").cast("long").alias("dst"),
+                F.coalesce(F.col("weight").cast("double"), F.lit(self.default_weight)).alias(
+                    "weight"
+                ),
+            )
+        )
+        if vertices is not None:
+            vcols = vertices.columns
+            first = "id" if "id" in vcols else vcols[0]
+            self._vertices = vertices.withColumn("id", F.col(first).cast("long"))
+        else:
+            self._vertices = None
+
+    # ------------------------------------------------------------------ #
+    # constructors
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_edges(
+        cls,
+        df: DataFrame,
+        src: str = "src",
+        dst: str = "dst",
+        weight: str | None = None,
+        vertices: DataFrame | None = None,
+        default_weight: float = 1.0,
+    ) -> "Graph":
+        sel = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+        if weight is not None and weight in df.columns:
+            sel.append(F.col(weight).alias("weight"))
+        return cls(df.select(*sel), vertices=vertices, default_weight=default_weight)
+
+    @classmethod
+    def from_edge_list(
+        cls,
+        spark: SparkSession,
+        edge_list,
+        vertices=None,
+        default_weight: float = 1.0,
+    ) -> "Graph":
+        """Tiny-fixture constructor: ``[(src, dst[, weight]), ...]``."""
+        rows = [
+            (int(e[0]), int(e[1]), float(e[2]) if len(e) > 2 else float(default_weight))
+            for e in edge_list
+        ]
+        edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+        vdf = None
+        if vertices is not None:
+            vdf = spark.createDataFrame([(int(v),) for v in vertices], "id long")
+        return cls(edges, vertices=vdf, default_weight=default_weight)
+
+    # ------------------------------------------------------------------ #
+    # vertex / degree views
+    # ------------------------------------------------------------------ #
+    @property
+    def vertices(self) -> DataFrame:
+        """``(id long)`` — provided vertex table, else src ∪ dst."""
+        if self._vertices is not None:
+            return self._vertices
+        return (
+            self.edges.select(F.col("src").alias("id"))
+            .union(self.edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+
+    def out_degrees(self, weighted: bool = False) -> DataFrame:
+        """``(id, degree)`` — zero-degree vertices included (degree=0)."""
+        agg = F.sum("weight") if weighted else F.count(F.lit(1))
+        deg = self.edges.groupBy(F.col("src").alias("id")).agg(agg.alias("degree"))
+        return (
+            self.vertices.select("id")
+            .join(deg, "id", "left")
+            .select("id", F.coalesce("degree", F.lit(0)).cast("double" if weighted else "long").alias("degree"))
+        )
+
+    def in_degrees(self) -> DataFrame:
+        deg = self.edges.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+        return (
+            self.vertices.select("id")
+            .join(deg, "id", "left")
+            .select("id", F.coalesce("degree", F.lit(0)).alias("degree"))
+        )
+
+    # ------------------------------------------------------------------ #
+    # derived edge views (the reference's load-time projections)
+    # ------------------------------------------------------------------ #
+    def reverse(self) -> "Graph":
+        """Direction INCOMING (``GraphLoader.withDirection(Direction.INCOMING)``)."""
+        return Graph(
+            self.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            ),
+            vertices=self._vertices,
+            default_weight=self.default_weight,
+        )
+
+    def undirected(self, dedup: bool = True) -> "Graph":
+        """Direction BOTH / ``asUndirected(true)`` (``GraphLoader.java:136-139``):
+        each edge materialized both ways; optional dedup."""
+        both = self.edges.union(
+            self.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        if dedup:
+            both = both.dropDuplicates(["src", "dst"])
+        return Graph(both, vertices=self._vertices, default_weight=self.default_weight)
+
+    def canonical_undirected_edges(self) -> DataFrame:
+        """Undirected edge set oriented low→high, deduped, self-loops dropped:
+        ``(src < dst)`` — the triangle-counting input (``TriangleProc.java:103-104``
+        loads undirected+sorted+dedup)."""
+        e = self.edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        return e.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+
+    def filter_weight(self, threshold: float) -> "Graph":
+        """Keep edges with ``weight >= threshold`` — the unionFind threshold
+        semantics (``GraphUnionFind.java:82-99``, note ``>=``)."""
+        return Graph(
+            self.edges.filter(F.col("weight") >= F.lit(float(threshold))),
+            vertices=self._vertices,
+            default_weight=self.default_weight,
+        )
+
+    def accumulate_weights(self) -> "Graph":
+        """Sum weights of parallel edges (``GraphLoader.withAccumulateWeights``)."""
+        return Graph(
+            self.edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight")),
+            vertices=self._vertices,
+            default_weight=self.default_weight,
+        )
+
+    # ------------------------------------------------------------------ #
+    # CSR-style salted adjacency blocks (north-rule storage layout)
+    # ------------------------------------------------------------------ #
+    def adjacency(
+        self,
+        hub_degree: int = 10_000,
+        num_partitions: int | None = None,
+        sort_neighbors: bool = True,
+    ) -> DataFrame:
+        """``(src long, salt int, dsts array<long>, degree long)``.
+
+        Non-hub vertices get one row (salt=0) holding their full sorted
+        neighbor list (the CSR row).  Vertices with out-degree >
+        ``hub_degree`` are split into ``ceil(degree/hub_degree)`` salted
+        rows so a single hub cannot skew one shuffle partition — the
+        two-stage-aggregation shape the north rule asks for.  The result
+        is hash-partitioned by (src, salt).
+        """
+        deg = self.edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        e = self.edges.join(deg, "src")
+        e = e.withColumn(
+            "salt",
+            (F.crc32(F.concat_ws("_", F.col("src"), F.col("dst"))) % F.greatest(
+                F.lit(1), F.ceil(F.col("degree") / F.lit(hub_degree))
+            )).cast("int"),
+        )
+        grouped = e.groupBy("src", "salt").agg(
+            (F.sort_array(F.collect_list("dst")) if sort_neighbors else F.collect_list("dst")).alias("dsts"),
+            F.count(F.lit(1)).alias("block_degree"),
+            F.first("degree").alias("degree"),
+        )
+        if num_partitions:
+            grouped = grouped.repartition(num_partitions, "src", "salt")
+        return grouped.select("src", "salt", "dsts", "degree", "block_degree")
+
+    # ------------------------------------------------------------------ #
+    # misc
+    # ------------------------------------------------------------------ #
+    def dense_ids(self) -> DataFrame:
+        """Deterministic dense rank ``(id, vid)`` with vid in 0..n-1 —
+        the ``IdMap`` equivalent, kept as a join dimension (never an
+        in-place renumber).  Uses a sort-based rank, so it is reproducible
+        across runs, unlike ``monotonically_increasing_id``."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy("id")
+        return self.vertices.select("id").withColumn(
+            "vid", F.row_number().over(w).cast("long") - 1
+        )
+
+    def num_vertices(self) -> int:
+        return self.vertices.count()
+
+    def num_edges(self) -> int:
+        return self.edges.count()
+
+    def cache(self) -> "Graph":
+        self.edges.cache()
+        return self

@@ -1,0 +1,168 @@
+"""Label propagation — synchronous weighted voting with deterministic ties.
+
+Reference semantics (``algo/.../impl/LabelPropagation.java``, proc
+``LabelPropagationProc.java:51-56``):
+
+- init: ``labels[v] = node's 'partition' property, falling back to its
+  own node id`` (``LabelPropagation.java:196-202``; fallback proven by
+  ``LabelPropagationProcIntegrationTest.java:140-151``);
+- vote: each neighbor t (via ``direction`` — OUTGOING default) votes for
+  its current label with weight
+  ``edgeWeight(v,t) · nodeWeight(t)`` (``LabelPropagation.java:280-289``);
+  the max-total-weight label wins (``:260-278``);
+- the reference is **semi-asynchronous with nondeterministic ties**
+  (strict ``<`` over hash-map iteration order); we run the synchronous
+  variant with the deterministic tie-break *smallest label wins* —
+  identical on the reference's own tie-free fixtures (SURVEY.md §2.2);
+- ``iterations`` (default 1) supersteps; ``didConverge`` when a
+  superstep changes nothing (``LabelPropagation.java:104-123``).
+
+Spark shape per superstep: scatter = edges ⋈ labels(neighbor side);
+gather = ``groupBy(voter-target, label).sum(weight)`` then per-vertex
+argmax via ``max_by(struct)`` — a two-level aggregation that keeps hub
+vertices inside map-side partial aggregation (no windowed sort, no
+single-partition shuffle).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..plans.checkpoint import SuperstepCheckpointer, truncate_lineage
+
+OUTGOING = "OUTGOING"
+INCOMING = "INCOMING"
+BOTH = "BOTH"
+
+
+@dataclass
+class LabelPropagationResult:
+    labels: DataFrame              # (id long, label long)
+    iterations_ran: int
+    did_converge: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def label_propagation(
+    graph: Graph,
+    direction: str = OUTGOING,
+    max_iterations: int = 1,
+    node_labels: DataFrame | None = None,
+    node_weights: DataFrame | None = None,
+    checkpointer: SuperstepCheckpointer | None = None,
+    checkpoint_interval: int = 1,
+) -> LabelPropagationResult:
+    """``node_labels``: optional ``(id, label long)`` seed — the
+    reference's ``partition`` node property; missing vertices fall back
+    to their own id.  ``node_weights``: optional ``(id, node_weight
+    double)`` — the reference's ``weight`` property, default 1.0."""
+    vertices = graph.vertices.select("id")
+
+    seed = node_labels
+    if seed is None and graph._vertices is not None and "partition" in graph._vertices.columns:
+        seed = graph._vertices.select("id", F.col("partition").cast("long").alias("label"))
+    if seed is not None:
+        labels = vertices.join(
+            seed.select("id", F.col(seed.columns[1]).cast("long").alias("label")),
+            "id",
+            "left",
+        ).select("id", F.coalesce("label", F.col("id")).alias("label"))
+    else:
+        labels = vertices.select("id", F.col("id").alias("label"))
+
+    nw = node_weights
+    if nw is None and graph._vertices is not None and "weight" in graph._vertices.columns:
+        nw = graph._vertices.select("id", F.col("weight").cast("double").alias("node_weight"))
+    if nw is not None:
+        weights = vertices.join(
+            nw.select("id", F.col(nw.columns[1]).cast("double").alias("node_weight")),
+            "id",
+            "left",
+        ).select("id", F.coalesce("node_weight", F.lit(1.0)).alias("node_weight"))
+    else:
+        weights = vertices.select("id", F.lit(1.0).alias("node_weight"))
+
+    # Voting edges (voter ← neighbor): neighbor votes for the voter's new
+    # label.  OUTGOING: v's neighbors are its out-targets.
+    e = graph.edges
+    if direction == OUTGOING:
+        votes_edges = e.select(F.col("src").alias("voter"), F.col("dst").alias("nbr"), "weight")
+    elif direction == INCOMING:
+        votes_edges = e.select(F.col("dst").alias("voter"), F.col("src").alias("nbr"), "weight")
+    elif direction == BOTH:
+        votes_edges = e.select(
+            F.col("src").alias("voter"), F.col("dst").alias("nbr"), "weight"
+        ).union(e.select(F.col("dst").alias("voter"), F.col("src").alias("nbr"), "weight"))
+    else:
+        raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction}")
+
+    # vote weight = edge_weight(v,t) * node_weight(t)  (LabelPropagation.java:286)
+    votes_edges = (
+        votes_edges.join(weights.withColumnRenamed("id", "nbr"), "nbr")
+        .select("voter", "nbr", (F.col("weight") * F.col("node_weight")).alias("vote_w"))
+        .persist()
+    )
+    votes_edges.count()
+
+    metrics: list[dict] = []
+    start_iter = 0
+    if checkpointer is not None:
+        last = checkpointer.latest_iteration()
+        if last is not None:
+            labels = checkpointer.load(last, ["labels"])["labels"]
+            start_iter = last
+            metrics = checkpointer.metrics()
+    labels = truncate_lineage(labels.repartition("id"))
+
+    did_converge = False
+    it = start_iter
+    while it < max_iterations:
+        it += 1
+        t0 = time.time()
+        tallies = (
+            votes_edges.join(
+                labels.select(F.col("id").alias("nbr"), F.col("label").alias("cand")),
+                "nbr",
+            )
+            .groupBy("voter", "cand")
+            .agg(F.sum("vote_w").alias("total"))
+        )
+        # argmax with smallest-label tie-break: max_by over the orderable
+        # struct (total, -cand) — larger total wins, then smaller label.
+        best = tallies.groupBy(F.col("voter").alias("id")).agg(
+            F.max(F.struct(F.col("total"), (-F.col("cand")).alias("neg"))).alias("win")
+        ).select("id", (-F.col("win.neg")).alias("new_label"))
+        new_labels = labels.join(best, "id", "left").select(
+            "id",
+            F.coalesce("new_label", "label").alias("label"),
+            (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
+        )
+        if checkpointer is not None and it % checkpoint_interval == 0:
+            new_labels = checkpointer.save(
+                it, {"labels": new_labels}, {"algorithm": "label_propagation"}
+            )["labels"]
+        else:
+            new_labels = truncate_lineage(new_labels)
+        changed = new_labels.filter(F.col("changed")).count()
+        metrics.append(
+            {
+                "algorithm": "label_propagation",
+                "iteration": it,
+                "changed_vertices": int(changed),
+                "wall_ms": int(1000 * (time.time() - t0)),
+            }
+        )
+        labels = new_labels.select("id", "label")
+        if changed == 0:
+            did_converge = True
+            break
+
+    votes_edges.unpersist()
+    return LabelPropagationResult(
+        labels=labels, iterations_ran=it, did_converge=did_converge, metrics=metrics
+    )

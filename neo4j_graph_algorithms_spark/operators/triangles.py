@@ -1,0 +1,155 @@
+"""Triangle count / clustering coefficient — degree-oriented self-joins.
+
+Reference semantics (``algo/.../TriangleProc.java``): graph loaded
+undirected + sorted + deduped (``TriangleProc.java:103-104``); node
+iterator enumerates each triangle once via ordered neighbor
+intersection (``TriangleCountQueue.java:126-143``); every triangle
+increments all three member counts (``impl/TriangleCountBase.java:93-98``);
+clustering coefficient ``2·tri(v) / (deg(v)·(deg(v)−1))``, 0 when
+degree < 2 (``TriangleCountBase.java:106-115``); average over all nodes
+(``TriangleCountQueue.java:70-81``).  The stream variant emits each
+triangle once as ``nodeA < nodeB < nodeC`` (``impl/TriangleStream.java``).
+
+Spark shape: orient the deduplicated undirected edge set **from the
+lower-degree endpoint to the higher-degree endpoint** (ties by id).
+Every triangle then has exactly one "apex" — the first vertex in the
+(degree, id) order — and is found once by the wedge join
+
+    e1(u→v) ⋈ e2(u→w)  with ord(v) < ord(w)   →  check e3(v→w)
+
+Degree orientation bounds the wedge fan-out per vertex by its oriented
+out-degree ≤ O(√m) on any graph — the standard compact-forward bound —
+so hub vertices do not explode the self-join (the skew handling the
+north rule calls out for triangle counting; SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+@dataclass
+class TriangleCountResult:
+    per_node: DataFrame            # (id long, triangles long, coefficient double)
+    triangle_count: int
+    node_count: int
+    average_coefficient: float
+
+
+def _oriented_edges(graph: Graph) -> tuple[DataFrame, DataFrame]:
+    """(oriented edges with order keys, undirected degrees).
+
+    Orientation key is (undirected degree, id); the oriented edge goes
+    low-key → high-key.  Returned columns:
+    ``(src, dst, sdeg, ddeg)`` where (sdeg, src) < (ddeg, dst).
+    """
+    und = graph.canonical_undirected_edges()   # src < dst, deduped
+    deg = (
+        und.select(F.col("src").alias("id"))
+        .union(und.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e = (
+        und.join(deg.select(F.col("id").alias("src"), F.col("degree").alias("adeg")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("bdeg")), "dst")
+    )
+    fwd = (F.col("adeg") < F.col("bdeg")) | (
+        (F.col("adeg") == F.col("bdeg")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        F.when(fwd, F.col("adeg")).otherwise(F.col("bdeg")).alias("sdeg"),
+        F.when(fwd, F.col("bdeg")).otherwise(F.col("adeg")).alias("ddeg"),
+    )
+    return oriented, deg
+
+
+def _triangles(graph: Graph) -> DataFrame:
+    """One row per triangle ``(a, b, c)`` with ids sorted ascending."""
+    oriented, _ = _oriented_edges(graph)
+    oe = oriented.persist()
+    oe.count()
+    e1 = oe.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("vdeg")
+    )
+    e2 = oe.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddeg").alias("wdeg")
+    )
+    # wedge at the apex u, ordered (deg, id) so each wedge appears once
+    wedges = e1.join(e2, "u").filter(
+        (F.col("vdeg") < F.col("wdeg"))
+        | ((F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w")))
+    )
+    e3 = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(e3, ["v", "w"], "left_semi").select("u", "v", "w")
+    out = tri.select(
+        F.array_sort(F.array("u", "v", "w")).alias("t")
+    ).select(
+        F.col("t")[0].alias("a"), F.col("t")[1].alias("b"), F.col("t")[2].alias("c")
+    )
+    return out
+
+
+def triangle_stream(graph: Graph) -> DataFrame:
+    """``(a < b < c)`` one row per triangle — ``algo.triangle.stream``."""
+    return _triangles(graph)
+
+
+def triangle_count(graph: Graph, with_summary: bool = True) -> TriangleCountResult:
+    """Per-node triangle counts + clustering coefficients —
+    ``algo.triangleCount[.stream]`` with
+    ``clusteringCoefficientProperty`` (``TriangleProc.java:151-222``)."""
+    tri = _triangles(graph).persist()
+    n_triangles = tri.count()
+    member = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    counts = member.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    _, deg = _oriented_edges(graph)
+    per_node = (
+        graph.vertices.select("id")
+        .join(counts, "id", "left")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+        )
+        .withColumn(
+            "coefficient",
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("id", "triangles", "coefficient")
+    )
+    node_count = 0
+    avg_coeff = 0.0
+    if with_summary:
+        row = per_node.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("coefficient").alias("avg")
+        ).first()
+        node_count = int(row["n"])
+        avg_coeff = float(row["avg"] or 0.0)
+    tri.unpersist()
+    return TriangleCountResult(
+        per_node=per_node,
+        triangle_count=int(n_triangles),
+        node_count=node_count,
+        average_coefficient=avg_coeff,
+    )
+
+
+def clustering_coefficients(graph: Graph) -> DataFrame:
+    """``(id, coefficient)`` convenience view."""
+    return triangle_count(graph, with_summary=False).per_node.select("id", "coefficient")

