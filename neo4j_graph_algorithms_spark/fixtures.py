@@ -50,13 +50,15 @@ WIKI_GOLDEN_40 = {
 
 # F3 — UnionFind fixture (UnionFindProcIntegrationTest.java:54-79).
 WCC_IDS = _ids("nA nB nC nD nE nF nG nH nI nJ")
-WCC_EDGES = [  # (src, dst, weight); default weight 1.0, one cost 4.2
-    ("nA", "nB", 1.0), ("nB", "nC", 1.0), ("nC", "nD", 1.0),
+WCC_EDGES = [  # (src, dst, cost); None = property absent → load default
+    ("nA", "nB", None), ("nB", "nC", None), ("nC", "nD", None),
     ("nD", "nE", 4.2),
-    ("nE", "nF", 1.0), ("nF", "nG", 1.0),
-    ("nH", "nI", 1.0),
+    ("nE", "nF", None), ("nF", "nG", None),
+    ("nH", "nI", None),
 ]
 WCC_EXPECT_SIZES = [7, 2, 1]                # full graph
+# threshold tests load with weightProperty:'cost', defaultValue:10.0
+# (UnionFindProcIntegrationTest.java:154,165)
 WCC_EXPECT_SIZES_T5 = [4, 3, 2, 1]          # threshold=5.0 splits the 4.2 edge
 WCC_EXPECT_SIZES_T314 = [7, 2, 1]           # threshold=3.14 keeps it (>=)
 

@@ -90,7 +90,11 @@ class Graph:
     ) -> "Graph":
         """Tiny-fixture constructor: ``[(src, dst[, weight]), ...]``."""
         rows = [
-            (int(e[0]), int(e[1]), float(e[2]) if len(e) > 2 else float(default_weight))
+            (
+                int(e[0]),
+                int(e[1]),
+                float(e[2]) if len(e) > 2 and e[2] is not None else float(default_weight),
+            )
             for e in edge_list
         ]
         edges = spark.createDataFrame(rows, "src long, dst long, weight double")

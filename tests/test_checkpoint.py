@@ -1,0 +1,69 @@
+"""Resume-from-checkpoint: kill after superstep k, resume, identical result."""
+
+import pytest
+
+from neo4j_graph_algorithms_spark import Graph, pagerank, wcc
+from neo4j_graph_algorithms_spark import fixtures as FX
+from neo4j_graph_algorithms_spark.plans import SuperstepCheckpointer
+
+
+@pytest.fixture()
+def f1_graph(spark):
+    return Graph.from_edge_list(
+        spark,
+        FX.named_edges_to_ids(FX.PAGERANK_EDGES, FX.PAGERANK_IDS),
+        vertices=FX.PAGERANK_IDS.values(),
+    )
+
+
+def test_pagerank_resume_matches_direct(spark, f1_graph, tmp_path):
+    direct = {
+        r["id"]: r["score"]
+        for r in pagerank(f1_graph, max_iterations=10).scores.collect()
+    }
+
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path), "pagerank", run_id="r1")
+    partial = pagerank(f1_graph, max_iterations=4, checkpointer=ckpt)
+    assert partial.iterations_ran == 4
+    assert ckpt.latest_iteration() == 4
+
+    # "crashed" after superstep 4; a new run resumes and finishes to 10
+    ckpt2 = SuperstepCheckpointer(spark, str(tmp_path), "pagerank", run_id="r1")
+    resumed = pagerank(f1_graph, max_iterations=10, checkpointer=ckpt2)
+    assert resumed.iterations_ran == 10
+    got = {r["id"]: r["score"] for r in resumed.scores.collect()}
+    for k in direct:
+        assert got[k] == pytest.approx(direct[k], abs=1e-9)
+
+
+def test_metrics_recorded_per_superstep(spark, f1_graph, tmp_path):
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path), "pagerank", run_id="m1")
+    pagerank(f1_graph, max_iterations=3, checkpointer=ckpt)
+    rows = ckpt.metrics()
+    assert [r["iteration"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert "max_delta" in r and "active_vertices" in r and "write_ms" in r
+
+
+def test_wcc_resume(spark, tmp_path):
+    vertices, edges = FX.wcc_lines_fixture(sets=2, set_size=8)
+    g = Graph.from_edge_list(spark, edges, vertices=vertices)
+    direct = {r["id"]: r["set_id"] for r in wcc(g).components.collect()}
+
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path), "wcc", run_id="w1")
+    wcc(g, max_iterations=2, checkpointer=ckpt)
+    ckpt2 = SuperstepCheckpointer(spark, str(tmp_path), "wcc", run_id="w1")
+    resumed = wcc(g, checkpointer=ckpt2)
+    got = {r["id"]: r["set_id"] for r in resumed.components.collect()}
+    assert got == direct
+
+
+def test_checkpoint_gc_keeps_last(spark, f1_graph, tmp_path):
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path), "pagerank", run_id="g1", keep_last=2)
+    pagerank(f1_graph, max_iterations=5, checkpointer=ckpt)
+    import os
+
+    iters = sorted(
+        n for n in os.listdir(ckpt.root) if n.startswith("iter=")
+    )
+    assert iters == ["iter=00004", "iter=00005"]

@@ -1,0 +1,64 @@
+"""Triangle count / clustering coefficient vs fixtures F6/F7."""
+
+import pytest
+
+from neo4j_graph_algorithms_spark import (
+    Graph,
+    clustering_coefficients,
+    triangle_count,
+    triangle_stream,
+)
+from neo4j_graph_algorithms_spark import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def f6(spark):
+    return Graph.from_edge_list(spark, FX.TRI_EDGES, vertices=FX.TRI_IDS.values())
+
+
+def test_triangle_count_f6(spark, f6):
+    res = triangle_count(f6)
+    assert res.triangle_count == 3
+    assert res.node_count == 9
+    per = {r["id"]: r["triangles"] for r in res.per_node.collect()}
+    assert per == {i: 1 for i in range(9)}
+
+
+def test_triangle_stream_f6(spark, f6):
+    rows = triangle_stream(f6).collect()
+    got = [set((r["a"], r["b"], r["c"])) for r in rows]
+    want = [set(FX.TRI_IDS[n] for n in t) for t in FX.TRI_TRIANGLES_NAMED]
+    assert len(got) == 3
+    for t in want:
+        assert t in got
+
+
+def test_clustering_coefficient_f7(spark):
+    g = Graph.from_edge_list(
+        spark,
+        FX.named_edges_to_ids(FX.CC_EDGES, FX.CC_IDS),
+        vertices=FX.CC_IDS.values(),
+    )
+    res = triangle_count(g)
+    per = {r["id"]: r["coefficient"] for r in res.per_node.collect()}
+    for name, want in FX.CC_EXPECTED.items():
+        assert per[FX.CC_IDS[name]] == pytest.approx(want, abs=1e-6), name
+    assert res.average_coefficient == pytest.approx(FX.CC_EXPECTED_AVG, abs=0.01)
+
+
+def test_triangles_direction_and_duplicates_ignored(spark):
+    # same triangle given twice with mixed directions counts once
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2)], vertices=[0, 1, 2]
+    )
+    res = triangle_count(g)
+    assert res.triangle_count == 1
+    per = {r["id"]: r["triangles"] for r in res.per_node.collect()}
+    assert per == {0: 1, 1: 1, 2: 1}
+
+
+def test_no_triangles(spark):
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], vertices=[0, 1, 2])
+    res = triangle_count(g)
+    assert res.triangle_count == 0
+    assert res.average_coefficient == 0.0

@@ -1,0 +1,72 @@
+"""WCC vs reference fixtures F3/F4: set sizes, counts, threshold semantics."""
+
+import pytest
+
+from neo4j_graph_algorithms_spark import Graph, wcc
+from neo4j_graph_algorithms_spark import fixtures as FX
+
+
+def _sizes(result):
+    return sorted(r["size"] for r in result.set_sizes().collect())
+
+
+@pytest.fixture(scope="module")
+def f3_graph(spark):
+    return Graph.from_edge_list(
+        spark,
+        FX.named_edges_to_ids(FX.WCC_EDGES, FX.WCC_IDS),
+        vertices=FX.WCC_IDS.values(),
+    )
+
+
+@pytest.fixture(scope="module")
+def f3_graph_default10(spark):
+    # the reference threshold tests load weightProperty:'cost' with
+    # defaultValue:10.0 (UnionFindProcIntegrationTest.java:154,165)
+    return Graph.from_edge_list(
+        spark,
+        FX.named_edges_to_ids(FX.WCC_EDGES, FX.WCC_IDS),
+        vertices=FX.WCC_IDS.values(),
+        default_weight=10.0,
+    )
+
+
+def test_wcc_full_graph(spark, f3_graph):
+    res = wcc(f3_graph, compute_set_count=True)
+    assert res.set_count == 3
+    assert _sizes(res) == sorted(FX.WCC_EXPECT_SIZES)
+
+
+def test_wcc_threshold_splits(spark, f3_graph_default10):
+    res = wcc(f3_graph_default10, threshold=5.0)
+    assert _sizes(res) == sorted(FX.WCC_EXPECT_SIZES_T5)
+
+
+def test_wcc_threshold_keeps_geq(spark, f3_graph_default10):
+    # 4.2 >= 3.14 → edge survives (reference uses >=, GraphUnionFind.java:89-93)
+    res = wcc(f3_graph_default10, threshold=3.14)
+    assert _sizes(res) == sorted(FX.WCC_EXPECT_SIZES_T314)
+
+
+def test_wcc_set_id_is_min_member(spark, f3_graph):
+    comp = {r["id"]: r["set_id"] for r in wcc(f3_graph).components.collect()}
+    # component {nA..nG} has min id 0; {nH,nI} min 7; {nJ} itself
+    assert comp[FX.WCC_IDS["nA"]] == 0
+    assert comp[FX.WCC_IDS["nG"]] == 0
+    assert comp[FX.WCC_IDS["nH"]] == FX.WCC_IDS["nH"]
+    assert comp[FX.WCC_IDS["nI"]] == FX.WCC_IDS["nH"]
+    assert comp[FX.WCC_IDS["nJ"]] == FX.WCC_IDS["nJ"]
+
+
+def test_wcc_16_line_graphs(spark):
+    vertices, edges = FX.wcc_lines_fixture()
+    g = Graph.from_edge_list(spark, edges, vertices=vertices)
+    res = wcc(g, compute_set_count=True)
+    assert res.set_count == 16
+    assert _sizes(res) == [10] * 16
+
+
+def test_wcc_direction_irrelevant(spark, f3_graph):
+    a = {r["id"]: r["set_id"] for r in wcc(f3_graph).components.collect()}
+    b = {r["id"]: r["set_id"] for r in wcc(f3_graph.reverse()).components.collect()}
+    assert a == b
