@@ -1,0 +1,85 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The north metric (BASELINE.json) — PageRank edges-processed/sec with
+supersteps to 1e-6 convergence — is reported under ``pagerank_north``.
+Scaling-efficiency evidence across two parallelism levels lives in
+tools/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from neo4j_graph_algorithms_spark import Graph, pagerank  # noqa: E402
+from neo4j_graph_algorithms_spark import driver_queries as dq  # noqa: E402
+from neo4j_graph_algorithms_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "pagerank_cs",
+    "wcc_cop",
+    "triangle_counts_cop",
+    "labelprop_cop",
+    "degrees_cs",
+    "dedup_exact_docs",
+    "minhash_lsh_docs",
+    "cosine_topk_embeddings",
+    "quality_docs",
+    "events_window_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = dq.QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # north metric: PageRank to 1e-6 convergence, edges-processed/sec
+    edges = dq.cs_edges(spark, sf_dir).persist()
+    n_edges = edges.count()
+    g = Graph.from_edges(edges)
+    t0 = time.time()
+    res = pagerank(g, max_iterations=100, tolerance=1e-6)
+    res.scores.count()
+    pr_sec = time.time() - t0
+    north = {
+        "edges": n_edges,
+        "supersteps": res.iterations_ran,
+        "seconds": round(pr_sec, 3),
+        "edges_processed_per_sec": round(n_edges * res.iterations_ran / pr_sec, 1),
+        "converged": res.converged,
+    }
+    print(f"# pagerank_north: {north}", file=sys.stderr)
+
+    total = round(sum(timings.values()) + pr_sec, 3)
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pagerank_north": north,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""Deduplication operators for web/corpus-scale pipelines.
+
+Tiers (cheap → robust), all shuffle-aware:
+
+- exact: hash-groupBy on md5(text) — one shuffle on the 128-bit key.
+- minhash + LSH: shingle → k md5-salted minhash signature → band hashes
+  → bucket self-join.  Candidate generation never compares all pairs:
+  the self-join runs per band bucket, so cost follows collision counts.
+- simhash: 64-bit sign-aggregated token hashes; near-dups share most
+  bits — grouped by rotated prefixes for candidate buckets.
+- n-gram Jaccard: exact verification on candidate pairs (or rare-shingle
+  candidates), computed as a shingle equi-join + group count.
+- embedding near-dup: cosine >= threshold via `similarity.py`.
+
+Hashing is md5-based and deterministic — no Python RNG, no seed
+dependence — so results reproduce across runs/engines and the DuckDB
+oracle can mirror every step symbolically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import shingles, tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """``(text_hash, dup_count, keep_id)`` — groups of byte-identical
+    texts; ``keep_id`` = min id (the canonical survivor)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rows surviving exact dedup (min-id per text hash)."""
+    keep = exact_duplicates(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """``(id, sig array<string>)`` — sig[i] = min over shingles of
+    md5(i ':' shingle).  Salted-md5 minhash: deterministic, engine-
+    portable, and computed in one pass over the shingle array with
+    higher-order functions (no explode, no shuffle)."""
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_size))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """``(id_a, id_b)`` candidate near-duplicate pairs (id_a < id_b):
+    docs sharing at least one LSH band.  bands × rows = num_hashes."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                )
+            ).alias("band_hash")
+        )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_cols[b])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 10,
+) -> DataFrame:
+    """``(id_a, id_b, jaccard)`` over word-n-gram shingle sets.
+
+    Candidates come from an equi-join on shingles; ``max_shingle_df``
+    drops shingles appearing in more than that many docs from candidate
+    generation (stop-shingle pruning — the scale guard; exact Jaccard is
+    still computed on the *full* sets of surviving pairs)."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col(text_col)), shingle_size))
+            ).alias("s"),
+        )
+    ).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    cand_sh = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        cand_sh = sh.join(rare, "s", "left_semi")
+    pairs = (
+        cand_sh.alias("a")
+        .join(cand_sh.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        sh.alias("a")
+        .join(pairs, F.col("a.id") == F.col("id_a"))
+        .join(
+            sh.alias("b"),
+            (F.col("b.id") == F.col("id_b")) & (F.col("a.s") == F.col("b.s")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """``(id, simhash long)`` — sign-aggregate of 64-bit token hashes.
+
+    Token hash = first 15 hex chars of md5 (60 bits, parsed JVM-side via
+    ``conv``); bit b of the simhash is 1 iff Σ_tokens (±1 for bit b) > 0.
+    Near-duplicate docs differ in few bits (compare via Hamming
+    distance / ``bit_count(a ^ b)``).
+
+    Shape: explode tokens → one 60-way conditional-sum groupBy — a
+    single shuffle on the doc id with map-side partial aggregation, so
+    hub documents (many tokens) combine before the exchange."""
+    nbits = min(bits, 60)
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select(
+        "id", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(nbits)
+    ]
+    votes = tok.groupBy("id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(nbits):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    hashed = votes.select("id", sim.alias("simhash"))
+    # docs with zero tokens keep simhash 0
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hashed, "id", "left")
+        .select("id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )

@@ -1,0 +1,201 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k for a (small) query set —
+  broadcast the queries, one pass over the corpus, per-query top-k via
+  ``Window`` row_number.  The correctness baseline.
+- ``lsh_buckets`` / ``lsh_topk``: random-hyperplane LSH — deterministic
+  hyperplanes derived from md5 (engine-portable, no RNG state), so the
+  scale path prunes the corpus to matching buckets before scoring.
+  At 100 TB this turns an O(N·Q) scan into O(Q · bucket) with recall
+  controlled by (num_planes, num_tables).
+
+All vector math is JVM-side: ``zip_with`` + ``aggregate`` stay inside
+whole-stage codegen — no Python per row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns (0 when either is
+    a zero vector)."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """``(query_id, vec_id, sim, rank)`` — exact top-k neighbors per
+    query (self-matches excluded).  Queries are broadcast; ranking uses
+    (sim desc, vec_id asc) so ties are deterministic."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplane(dim: int, plane: int, table: int) -> list:
+    """Deterministic pseudorandom unit-free hyperplane from md5 bytes."""
+    out = []
+    i = 0
+    while len(out) < dim:
+        h = hashlib.md5(f"lsh:{table}:{plane}:{i}".encode()).digest()
+        for by in h:
+            if len(out) >= dim:
+                break
+            out.append((by - 127.5) / 127.5)
+        i += 1
+    return out
+
+
+def lsh_buckets(
+    df: DataFrame,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """``(vec_id, table, bucket)`` — sign-pattern bucket per table."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    v = _as_double(F.col(vec_col))
+    rows = []
+    for t in range(num_tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(num_planes):
+            plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, t)])
+            bit = F.when(_dot(v, plane) > 0, F.lit(2**p)).otherwise(F.lit(0))
+            bucket = bucket + bit
+        rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*rows)).alias("tb")
+    ).select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing an LSH
+    bucket with the query in any table."""
+    dim = len(corpus.select(vec_col).first()[0])
+    cb = lsh_buckets(corpus, num_planes, num_tables, id_col, vec_col, dim)
+    qb = lsh_buckets(queries, num_planes, num_tables, id_col, vec_col, dim).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    cand = (
+        cb.join(qb, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        cand.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = True,
+    num_planes: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """``(id_a, id_b, sim)`` pairs with cosine >= threshold (id_a<id_b).
+    LSH-pruned by default; exact all-pairs when ``use_lsh=False``."""
+    v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    if use_lsh:
+        b = lsh_buckets(df, num_planes, num_tables, id_col, vec_col)
+        pairs = (
+            b.alias("x")
+            .join(
+                b.alias("y"),
+                (F.col("x.table") == F.col("y.table"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        ids = v.select(F.col("id"))
+        pairs = (
+            ids.alias("x")
+            .crossJoin(ids.alias("y"))
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        )
+    return (
+        pairs.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,117 @@
+"""Text analysis for a training-data pipeline: tokenization, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All JVM-side (``pyspark.sql.functions`` higher-order functions) — no
+Python UDFs in the hot path, so the expressions stay inside whole-stage
+codegen and scale linearly with input splits.  Shared definitions (kept
+in sync with the DuckDB oracle SQL in ``driver_queries.py``):
+
+- ``tokens(text)``: lowercase, split on ``[^a-z0-9]+``, drop empties.
+- word 3-gram shingles over the token array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "and", "of", "to", "is", "in", "that", "it"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"]
+FR_STOPWORDS = ["le", "la", "les", "et", "est", "dans", "que", "pour"]
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace/punctuation token count, as long."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_piece_count(col: Column) -> Column:
+    """BPE-flavored regex token count: words, digit runs, and isolated
+    punctuation each count as one piece — a cheap `len(tokenize(text))`
+    proxy when no tokenizer model is shippable."""
+    pieces = F.filter(
+        F.split(col, r"(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])(?=[a-zA-Z0-9])|\s+"),
+        lambda x: F.trim(x) != F.lit(""),
+    )
+    return F.size(pieces).cast("long")
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (space-joined); empty when < n tokens."""
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(tok) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: char count, token count, mean token
+    length, whitespace ratio, stopword ratio — the filter inputs of a
+    C4/Gopher-style quality gate."""
+    t = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(t).cast("long")
+    token_chars = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_spaces = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    ).cast("long")
+    stop_hits = F.size(
+        F.filter(t, lambda x: x.isin(EN_STOPWORDS))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, F.round(token_chars / n_tokens, 6)).otherwise(0.0).alias("mean_token_len"),
+        F.when(n_chars > 0, F.round(n_spaces / n_chars, 6)).otherwise(0.0).alias("space_ratio"),
+        F.when(n_tokens > 0, F.round(stop_hits / n_tokens, 6)).otherwise(0.0).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID (en/de/fr/unknown) — the n-gram-free
+    heuristic tier; deterministic CASE chain, identical to the oracle."""
+    t = tokens(F.col(text_col))
+
+    def hits(words):
+        return F.size(F.filter(t, lambda x: x.isin(words))).cast("long")
+
+    en, de, fr = hits(EN_STOPWORDS), hits(DE_STOPWORDS), hits(FR_STOPWORDS)
+    lang = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.select(
+        F.col(id_col),
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        lang.alias("lang_pred"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: full-text sha256 prefix (exact identity) and
+    min-shingle-hash (a 1-permutation minhash — shift-robust)."""
+    t = tokens(F.col(text_col))
+    sh = shingles(t, 3)
+    return df.select(
+        F.col(id_col),
+        F.substring(F.sha2(F.col(text_col), 256), 1, 16).alias("content_fp"),
+        F.array_min(F.transform(sh, F.md5)).alias("shingle_fp"),
+    )

@@ -2,6 +2,17 @@ from .pagerank import pagerank
 from .wcc import wcc
 from .labelprop import label_propagation
 from .triangles import triangle_count, triangle_stream, clustering_coefficients
+from .louvain import louvain
+from .sssp import shortest_paths, shortest_path
+from .msbfs import (
+    msbfs_levels,
+    closeness_centrality,
+    harmonic_centrality,
+    all_shortest_paths_unweighted,
+)
+from .scc import scc
+from .mst import mst, minimum_spanning_forest
+from .betweenness import betweenness_centrality
 
 __all__ = [
     "pagerank",
@@ -10,4 +21,15 @@ __all__ = [
     "triangle_count",
     "triangle_stream",
     "clustering_coefficients",
+    "louvain",
+    "shortest_paths",
+    "shortest_path",
+    "msbfs_levels",
+    "closeness_centrality",
+    "harmonic_centrality",
+    "all_shortest_paths_unweighted",
+    "scc",
+    "mst",
+    "minimum_spanning_forest",
+    "betweenness_centrality",
 ]

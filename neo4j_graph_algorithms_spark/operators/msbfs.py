@@ -1,0 +1,200 @@
+"""Multi-source BFS kernel + closeness / harmonic centrality.
+
+Reference: ``core/.../msbfs/MultiSourceBFS.java:33-416`` — the
+"The More the Merrier" bitset trick (ω=32 sources per machine word,
+``OMEGA`` at ``:79``): one BFS pass serves a whole batch of sources by
+OR-ing per-source visit bits.  The trick survives translation intact:
+the frontier DataFrame carries a packed ``mask`` long (ω=62 sources per
+batch here), and the level expansion is
+
+    next = edges ⋈ frontier(src) → groupBy(dst).agg(bit_or(mask))
+           minus already-seen bits
+
+Consumers (per the reference):
+- closeness (``impl/MSClosenessCentrality.java:33-96``):
+  ``farness[v] += popcount(mask)·depth`` per level (``:62-66``),
+  centrality = (n-1)/farness (0 for isolated), with the optional
+  Wasserman-Faust component correction ignored, as in the default.
+- harmonic (``impl/MSHarmonicCentrality.java:30-77``):
+  ``Σ popcount/depth``, normalized by (n-1).
+
+Source batching bounds memory: ``batch_size`` ≤ 62 sources per sweep,
+batches run sequentially (each is a full BFS of ≤ diameter supersteps).
+For centralities at 10^12 scale you sample sources (``sample``) — the
+same estimator RA-Brandes uses for betweenness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..plans.checkpoint import truncate_lineage
+
+OMEGA = 62  # sources per long mask (sign bit avoided)
+
+
+def _popcount(col):
+    return F.bit_count(col)
+
+
+def msbfs_levels(
+    graph: Graph,
+    sources: list[int],
+    direction_both: bool = True,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """``(id, source_idx, depth)`` — BFS depth from each source in
+    ``sources`` (≤ OMEGA per call) to every reachable vertex.
+    Depth 0 rows (source itself) included."""
+    assert len(sources) <= OMEGA, f"at most {OMEGA} sources per batch"
+    spark = graph.spark
+    e = graph.edges.select("src", "dst")
+    if direction_both:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.dropDuplicates(["src", "dst"]).persist()
+
+    src_df = spark.createDataFrame(
+        [(int(s), 1 << i) for i, s in enumerate(sources)], "id long, bit long"
+    )
+    seen = src_df.groupBy("id").agg(F.sum("bit").alias("seen_mask"))
+    frontier = seen.select("id", F.col("seen_mask").alias("mask"))
+    out_rows = [frontier.select("id", F.col("mask"), F.lit(0).alias("depth"))]
+
+    depth = 0
+    while True:
+        depth += 1
+        if max_depth is not None and depth > max_depth:
+            break
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.bit_or("mask").alias("new_mask"))
+        )
+        nxt = (
+            nxt.join(seen, "id", "left")
+            .select(
+                "id",
+                F.col("new_mask")
+                .bitwiseAND(F.bitwise_not(F.coalesce(F.col("seen_mask"), F.lit(0))))
+                .alias("mask"),
+                F.coalesce(F.col("seen_mask"), F.lit(0)).alias("seen_mask"),
+            )
+            .filter(F.col("mask") != 0)
+        )
+        nxt = truncate_lineage(nxt)
+        if nxt.isEmpty():
+            break
+        out_rows.append(nxt.select("id", "mask", F.lit(depth).alias("depth")))
+        seen = truncate_lineage(
+            seen.join(nxt.select("id", "mask"), "id", "full")
+            .select(
+                "id",
+                F.coalesce(F.col("seen_mask"), F.lit(0))
+                .bitwiseOR(F.coalesce(F.col("mask"), F.lit(0)))
+                .alias("seen_mask"),
+            )
+        )
+        frontier = nxt.select("id", "mask")
+
+    e.unpersist()
+    masked = out_rows[0]
+    for r in out_rows[1:]:
+        masked = masked.unionByName(r)
+    # unpack mask → source_idx via the bit positions present
+    bits = spark.createDataFrame(
+        [(i, 1 << i) for i in range(len(sources))], "source_idx int, bit long"
+    )
+    return (
+        masked.join(bits, F.col("mask").bitwiseAND(F.col("bit")) != 0)
+        .select("id", "source_idx", "depth")
+    )
+
+
+@dataclass
+class CentralityResult:
+    centrality: DataFrame          # (id long, centrality double)
+    sources_used: int
+
+
+def _batched_depth_sums(graph: Graph, sources: list[int], harmonic: bool):
+    """Σ depth (farness) or Σ 1/depth per vertex over all sources."""
+    spark = graph.spark
+    acc = None
+    for i in range(0, len(sources), OMEGA):
+        batch = sources[i : i + OMEGA]
+        lv = msbfs_levels(graph, batch).filter(F.col("depth") > 0)
+        contrib = lv.groupBy("id").agg(
+            (
+                F.sum(1.0 / F.col("depth")) if harmonic else F.sum(F.col("depth").cast("double"))
+            ).alias("s"),
+            F.count(F.lit(1)).alias("reached"),
+        )
+        acc = contrib if acc is None else (
+            acc.unionByName(contrib)
+            .groupBy("id")
+            .agg(F.sum("s").alias("s"), F.sum("reached").alias("reached"))
+        )
+        acc = truncate_lineage(acc)
+    return acc
+
+
+def closeness_centrality(graph: Graph, sample: list[int] | None = None) -> CentralityResult:
+    """``(n-1)/farness`` (``MSClosenessCentrality.java:87-92``); 0 when
+    farness is 0.  ``sample`` restricts BFS sources (estimator mode)."""
+    vertices = graph.vertices.select("id").persist()
+    n = vertices.count()
+    sources = sample if sample is not None else [r["id"] for r in vertices.collect()]
+    acc = _batched_depth_sums(graph, sources, harmonic=False)
+    cent = vertices.join(acc, "id", "left").select(
+        "id",
+        F.when(
+            F.coalesce(F.col("s"), F.lit(0.0)) > 0, F.lit(float(n - 1)) / F.col("s")
+        )
+        .otherwise(0.0)
+        .alias("centrality"),
+    )
+    vertices.unpersist()
+    return CentralityResult(centrality=cent, sources_used=len(sources))
+
+
+def harmonic_centrality(graph: Graph, sample: list[int] | None = None) -> CentralityResult:
+    """``Σ 1/dist / (n-1)`` (``MSHarmonicCentrality.java:59,68``)."""
+    vertices = graph.vertices.select("id").persist()
+    n = vertices.count()
+    sources = sample if sample is not None else [r["id"] for r in vertices.collect()]
+    acc = _batched_depth_sums(graph, sources, harmonic=True)
+    cent = vertices.join(acc, "id", "left").select(
+        "id",
+        (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(float(max(n - 1, 1)))).alias(
+            "centrality"
+        ),
+    )
+    vertices.unpersist()
+    return CentralityResult(centrality=cent, sources_used=len(sources))
+
+
+def all_shortest_paths_unweighted(
+    graph: Graph, sources: list[int] | None = None, direction_both: bool = True
+) -> DataFrame:
+    """``(source, target, distance)`` stream — MS-BFS variant of
+    ``algo.allShortestPaths.stream`` (``impl/MSBFSAllShortestPaths.java``).
+    O(n²) output: pass ``sources`` to bound it at scale."""
+    spark = graph.spark
+    if sources is None:
+        sources = [r["id"] for r in graph.vertices.select("id").collect()]
+    out = None
+    for i in range(0, len(sources), OMEGA):
+        batch = sources[i : i + OMEGA]
+        idx = spark.createDataFrame(
+            [(j, int(s)) for j, s in enumerate(batch)], "source_idx int, source long"
+        )
+        lv = msbfs_levels(graph, batch, direction_both=direction_both).join(idx, "source_idx")
+        part = lv.select(
+            "source", F.col("id").alias("target"), F.col("depth").cast("double").alias("distance")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1,0 +1,154 @@
+"""Strongly connected components — forward-backward coloring.
+
+Reference surface: ``algo.scc.*`` — Tarjan (sequential recursion,
+``impl/SCCTarjan.java:28-56``), iterative Tarjan
+(``impl/SCCIterativeTarjan.java``), multistep trim + FW/BW
+(``impl/multistepscc/MultistepSCC.java:22-47``), and a
+forward-backward stream (``impl/ForwardBackwardScc.java``).  Tarjan's
+DFS has no distributed analogue; the multistep/FW-BW family does, and
+produces the identical partition (SCC is unique).
+
+Algorithm (Orzan/FW-BW coloring, the same idea as MultistepSCC's
+coloring phase):
+
+repeat until no vertices remain active:
+  1. color — forward max-id propagation within the active subgraph:
+     ``color(v) = max(own id, colors of in-neighbors)`` to fixpoint;
+     vertices reachable forward from root r (=vertex whose color is its
+     own id) share color r.
+  2. backward sweep — from each root r, find vertices with color r that
+     reach r backwards *staying inside color r*: those form SCC(r).
+  3. assign scc_id = r for them; deactivate; loop on the rest.
+
+All colors/backward sweeps for every root run in the same DataFrames
+per round (no per-root loop), so each round is O(diameter) supersteps
+and removes at least one SCC per color class — trim-friendly: isolated
+/ degree-0 vertices fall out as singleton SCCs in their own round.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..plans.checkpoint import truncate_lineage
+
+
+@dataclass
+class SccResult:
+    components: DataFrame          # (id long, scc_id long)
+    rounds: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _propagate_max(edges: DataFrame, init: DataFrame, along_src_to_dst: bool) -> DataFrame:
+    """Fixpoint max-propagation of ``color`` along edge direction."""
+    state = truncate_lineage(init)
+    while True:
+        if along_src_to_dst:
+            msgs = (
+                edges.join(
+                    state.select(F.col("id").alias("src"), F.col("color").alias("c")),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("c").alias("cand"))
+            )
+        else:
+            msgs = (
+                edges.join(
+                    state.select(F.col("id").alias("dst"), F.col("color").alias("c")),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.max("c").alias("cand"))
+            )
+        nxt = state.join(msgs, "id", "left").select(
+            "id",
+            F.greatest(F.col("color"), F.coalesce(F.col("cand"), F.col("color"))).alias(
+                "color"
+            ),
+            (F.coalesce(F.col("cand"), F.col("color")) > F.col("color")).alias("changed"),
+        )
+        nxt = truncate_lineage(nxt)
+        if nxt.filter(F.col("changed")).isEmpty():
+            return nxt.select("id", "color")
+        state = nxt.select("id", "color")
+
+
+def scc(graph: Graph, max_rounds: int = 10_000) -> SccResult:
+    spark = graph.spark
+    active_edges = truncate_lineage(graph.edges.select("src", "dst").dropDuplicates())
+    active_v = truncate_lineage(graph.vertices.select("id"))
+    assigned = None
+    metrics: list[dict] = []
+    rounds = 0
+    while rounds < max_rounds and not active_v.isEmpty():
+        rounds += 1
+        t0 = time.time()
+        # 1. forward coloring to fixpoint
+        colors = _propagate_max(
+            active_edges, active_v.select("id", F.col("id").alias("color")), True
+        )
+        # 2. backward reachability from roots, restricted to same color
+        ce = (
+            active_edges.join(
+                colors.select(F.col("id").alias("src"), F.col("color").alias("cs")), "src"
+            )
+            .join(colors.select(F.col("id").alias("dst"), F.col("color").alias("cd")), "dst")
+            .filter(F.col("cs") == F.col("cd"))
+            .select("src", "dst", F.col("cs").alias("color"))
+        )
+        in_scc = truncate_lineage(
+            colors.filter(F.col("id") == F.col("color")).select("id", "color")
+        )
+        while True:
+            grow = (
+                ce.join(
+                    in_scc.select(F.col("id").alias("dst"), F.col("color").alias("c")),
+                    ["dst"],
+                )
+                .filter(F.col("color") == F.col("c"))
+                .select(F.col("src").alias("id"), F.col("color"))
+                .distinct()
+                .join(in_scc.select("id"), "id", "left_anti")
+                .join(colors.withColumnRenamed("color", "vc"), "id")
+                .filter(F.col("color") == F.col("vc"))
+                .select("id", "color")
+            )
+            grow = truncate_lineage(grow)
+            if grow.isEmpty():
+                break
+            in_scc = truncate_lineage(in_scc.unionByName(grow).distinct())
+        found = in_scc.select("id", F.col("color").alias("scc_id"))
+        assigned = found if assigned is None else assigned.unionByName(found)
+        assigned = truncate_lineage(assigned)
+        # 3. deactivate
+        active_v = truncate_lineage(
+            active_v.join(found.select("id"), "id", "left_anti")
+        )
+        active_edges = truncate_lineage(
+            active_edges.join(found.select(F.col("id").alias("src")), "src", "left_anti")
+            .join(found.select(F.col("id").alias("dst")), "dst", "left_anti")
+        )
+        metrics.append(
+            {
+                "algorithm": "scc",
+                "round": rounds,
+                "assigned": assigned.count(),
+                "wall_ms": int(1000 * (time.time() - t0)),
+            }
+        )
+    # normalize scc ids to the minimum member id (deterministic,
+    # matching the WCC convention; the raw root is a max-id artifact of
+    # the coloring pass)
+    if assigned is not None:
+        remap = assigned.groupBy("scc_id").agg(F.min("id").alias("min_id"))
+        assigned = assigned.join(remap, "scc_id").select(
+            "id", F.col("min_id").alias("scc_id")
+        )
+    return SccResult(components=assigned, rounds=rounds, metrics=metrics)

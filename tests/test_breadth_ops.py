@@ -1,0 +1,185 @@
+"""Louvain, SSSP, closeness/harmonic, SCC, MST, betweenness — reference
+fixtures + networkx cross-checks."""
+
+import pytest
+
+networkx = pytest.importorskip("networkx")
+import networkx as nx  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from neo4j_graph_algorithms_spark import Graph  # noqa: E402
+from neo4j_graph_algorithms_spark.operators import (  # noqa: E402
+    all_shortest_paths_unweighted,
+    betweenness_centrality,
+    closeness_centrality,
+    harmonic_centrality,
+    louvain,
+    minimum_spanning_forest,
+    mst,
+    scc,
+    shortest_path,
+    shortest_paths,
+)
+
+# Louvain fixture from LouvainTest.java:60-87 — two 4-cliques + weighted
+# bridge + isolated z; ids in creation order a..h,z = 0..8.
+LOUVAIN_EDGES = [
+    (0, 1), (0, 2), (0, 3), (2, 3), (2, 1), (1, 3),
+    (4, 5), (4, 6), (4, 7), (5, 7), (5, 6), (6, 7),
+    (4, 1),
+]
+
+
+def test_louvain_two_cliques(spark):
+    g = Graph.from_edge_list(spark, LOUVAIN_EDGES, vertices=range(9)).undirected()
+    res = louvain(g, max_iterations=20, compute_community_count=True)
+    comm = {r["id"]: r["community"] for r in res.communities.collect()}
+    assert res.did_converge
+    # abcd one community, efgh another, disjoint; z alone
+    assert len({comm[i] for i in (0, 1, 2, 3)}) == 1
+    assert len({comm[i] for i in (4, 5, 6, 7)}) == 1
+    assert comm[0] != comm[4]
+    assert comm[8] not in (comm[0], comm[4])
+
+
+SSSP_EDGES = [
+    (0, 1, 2.0), (0, 2, 5.0), (1, 2, 1.0), (1, 3, 4.0),
+    (2, 3, 1.0), (3, 4, 3.0), (5, 6, 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def sssp_graph(spark):
+    return Graph.from_edge_list(spark, SSSP_EDGES, vertices=range(7))
+
+
+def _nx_digraph(edges):
+    G = nx.DiGraph()
+    for s, t, *w in edges:
+        G.add_edge(s, t, weight=w[0] if w else 1.0)
+    return G
+
+
+def test_sssp_matches_dijkstra(spark, sssp_graph):
+    got = {r["id"]: r["distance"] for r in shortest_paths(sssp_graph, 0).distances.collect()}
+    want = nx.single_source_dijkstra_path_length(_nx_digraph(SSSP_EDGES), 0)
+    for v in range(7):
+        if v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), v
+        else:
+            assert got[v] == float("inf"), v
+
+
+def test_sssp_delta_stepping_same_result(spark, sssp_graph):
+    plain = {r["id"]: r["distance"] for r in shortest_paths(sssp_graph, 0).distances.collect()}
+    delta = {
+        r["id"]: r["distance"]
+        for r in shortest_paths(sssp_graph, 0, delta=2.0).distances.collect()
+    }
+    assert plain == delta
+
+
+def test_point_to_point(spark, sssp_graph):
+    assert shortest_path(sssp_graph, 0, 4) == pytest.approx(7.0)
+    assert shortest_path(sssp_graph, 0, 6) == float("inf")
+
+
+CENT_EDGES = [(0, 1), (1, 2), (2, 3), (1, 4)]
+
+
+def test_closeness_matches_networkx(spark):
+    g = Graph.from_edge_list(spark, CENT_EDGES, vertices=range(5))
+    got = {r["id"]: r["centrality"] for r in closeness_centrality(g).centrality.collect()}
+    G = nx.Graph(CENT_EDGES)
+    want = nx.closeness_centrality(G)
+    for v in range(5):
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_harmonic_matches_networkx(spark):
+    g = Graph.from_edge_list(spark, CENT_EDGES, vertices=range(5))
+    got = {r["id"]: r["centrality"] for r in harmonic_centrality(g).centrality.collect()}
+    G = nx.Graph(CENT_EDGES)
+    want = nx.harmonic_centrality(G)  # unnormalized
+    n = 5
+    for v in range(5):
+        assert got[v] == pytest.approx(want[v] / (n - 1), abs=1e-9), v
+
+
+def test_all_shortest_paths_unweighted(spark):
+    g = Graph.from_edge_list(spark, CENT_EDGES, vertices=range(5))
+    rows = all_shortest_paths_unweighted(g).collect()
+    got = {(r["source"], r["target"]): r["distance"] for r in rows}
+    want = dict(nx.all_pairs_shortest_path_length(nx.Graph(CENT_EDGES)))
+    for s in range(5):
+        for t in range(5):
+            assert got[(s, t)] == pytest.approx(float(want[s][t])), (s, t)
+
+
+SCC_EDGES = [
+    (0, 1), (1, 2), (2, 0),          # scc {0,1,2}
+    (2, 3), (3, 4), (4, 3),          # scc {3,4}
+    (4, 5),                          # scc {5}
+    (6, 6),                          # self loop → {6}
+]
+
+
+def test_scc_matches_networkx(spark):
+    g = Graph.from_edge_list(spark, SCC_EDGES, vertices=range(7))
+    res = scc(g)
+    got = {r["id"]: r["scc_id"] for r in res.components.collect()}
+    want = list(nx.strongly_connected_components(_nx_digraph(SCC_EDGES)))
+    # same partition: nodes grouped identically
+    for comp in want:
+        ids = {got[v] for v in comp}
+        assert len(ids) == 1, comp
+    assert len({got[v] for v in range(7)}) == len(want)
+
+
+MST_EDGES = [
+    (0, 1, 1.0), (1, 2, 2.0), (0, 2, 3.0),
+    (2, 3, 4.0), (3, 4, 1.0), (2, 4, 6.0),
+    (5, 6, 1.0),
+]
+
+
+def test_msf_matches_networkx(spark):
+    g = Graph.from_edge_list(spark, MST_EDGES, vertices=range(7))
+    res = minimum_spanning_forest(g)
+    G = nx.Graph()
+    for s, t, w in MST_EDGES:
+        G.add_edge(s, t, weight=w)
+    want_total = sum(
+        d["weight"] for _, _, d in nx.minimum_spanning_edges(G, data=True)
+    )
+    assert res.total_weight == pytest.approx(want_total)
+    assert res.edges.count() == 5  # n - #components = 7 - 2
+
+
+def test_mst_from_start_node(spark):
+    g = Graph.from_edge_list(spark, MST_EDGES, vertices=range(7))
+    res = mst(g, start_node=0)
+    # only the component containing 0: weight 1+2+4+1 = 8, 4 edges
+    assert res.total_weight == pytest.approx(8.0)
+    assert res.edges.count() == 4
+
+
+BC_EDGES = [(0, 1), (1, 2), (2, 3), (1, 4), (4, 2)]
+
+
+def test_betweenness_exact_matches_networkx(spark):
+    g = Graph.from_edge_list(spark, BC_EDGES, vertices=range(5))
+    got = {r["id"]: r["centrality"] for r in betweenness_centrality(g).centrality.collect()}
+    want = nx.betweenness_centrality(_nx_digraph(BC_EDGES), normalized=False)
+    for v in range(5):
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_betweenness_sampled_scales(spark):
+    g = Graph.from_edge_list(spark, BC_EDGES, vertices=range(5))
+    res = betweenness_centrality(g, sample=[0, 1, 2, 3, 4])
+    exact = betweenness_centrality(g)
+    a = {r["id"]: r["centrality"] for r in res.centrality.collect()}
+    b = {r["id"]: r["centrality"] for r in exact.centrality.collect()}
+    for v in range(5):
+        assert a[v] == pytest.approx(b[v], abs=1e-9)

@@ -1,0 +1,139 @@
+"""Scalar functions, catalog, dedup / similarity / text operators."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graph_algorithms_spark.functions import (
+    algo_list,
+    dedup,
+    is_finite,
+    is_infinite,
+    similarity,
+    textstats,
+)
+
+
+def test_scalar_predicates(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("inf",),), (float("-inf"),), (float("nan"),), (None,)],
+        "x double",
+    )
+    got = df.select(
+        "x", is_finite(F.col("x")).alias("fin"), is_infinite(F.col("x")).alias("inf")
+    ).collect()
+    by = {(
+        "None" if r["x"] is None else ("nan" if isinstance(r["x"], float) and math.isnan(r["x"]) else r["x"])
+    ): r for r in got}
+    assert by[1.0]["fin"] is True and by[1.0]["inf"] is False
+    assert by[float("inf")]["fin"] is False and by[float("inf")]["inf"] is True
+    assert by["nan"]["fin"] is False
+    assert by["None"]["fin"] is None or by["None"]["fin"] is False
+
+
+def test_algo_list_catalog(spark):
+    df = algo_list(spark)
+    names = {r["name"] for r in df.collect()}
+    assert "algo.pageRank" in names and "algo.unionFind" in names
+    filtered = algo_list(spark, "triangle")
+    assert all("triangle" in r["name"] for r in filtered.collect())
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+        (3, "der hund ist nicht mit der katze und das haus"),
+        (4, "le chat est dans la maison et pour les amis"),
+        (5, "zzz qqq xxx"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    dup = [g for g in groups if g["dup_count"] > 1]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == 6
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(docs).collect()}
+    assert (0, 1) in pairs  # identical docs always collide
+    # unrelated docs don't
+    assert (3, 4) not in pairs and (0, 5) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=10).collect()
+    }
+    assert out[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in out and out[(0, 2)] < 1.0
+
+
+def test_simhash_hamming(spark, docs):
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical simhash
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+    assert sh[6] == 0  # empty doc
+
+
+def test_token_and_quality(spark, docs):
+    q = {r["doc_id"]: r for r in textstats.quality_stats(docs).collect()}
+    assert q[0]["n_tokens"] == 9
+    assert q[6]["n_tokens"] == 0 and q[6]["mean_token_len"] == 0.0
+    assert q[0]["stopword_ratio"] > 0
+
+
+def test_language_id(spark, docs):
+    lang = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[3] == "de"
+    assert lang[4] == "fr"
+    assert lang[5] == "unknown"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [1.0, 0.01, 0.0]),  # closest to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    out = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in rows] == [4, 1]
+    assert rows[0]["sim"] > rows[1]["sim"] > 0.9
+
+
+def test_embedding_near_duplicates_exact_vs_lsh(spark, vectors):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates(
+            vectors, threshold=0.99, use_lsh=False
+        ).collect()
+    }
+    assert (0, 4) in exact and (0, 2) not in exact
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates(
+            vectors, threshold=0.99, use_lsh=True, num_planes=4, num_tables=4
+        ).collect()
+    }
+    assert lsh <= exact  # LSH can only miss, never invent

@@ -1,0 +1,113 @@
+"""Repo-table ingest → extract → graph pipeline (the north-rule input
+path), including the per-row sha256 invariant."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graph_algorithms_spark import Graph, pagerank, wcc
+from neo4j_graph_algorithms_spark.sources import (
+    extract_imports,
+    load_graph,
+    path_edges,
+    repo_edges,
+    synthetic_repo_files,
+    with_sha256,
+)
+from neo4j_graph_algorithms_spark.sources.extract import repo_graph
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    df = synthetic_repo_files(spark, n_repos=20, files_per_repo=5).persist()
+    df.count()
+    return df
+
+
+def test_generator_deterministic(spark, files):
+    again = synthetic_repo_files(spark, n_repos=20, files_per_repo=5)
+    a = sorted(files.select("repo", "path", "commit", "content").collect())
+    b = sorted(again.select("repo", "path", "commit", "content").collect())
+    assert a == b
+    assert files.count() == 100
+
+
+def test_sha256_invariant(spark, files):
+    out = with_sha256(files).collect()
+    for r in out:
+        assert r["content_sha256"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_sha256_survives_pipeline(spark, files):
+    # the invariant column rides through extraction untouched
+    ex = extract_imports(with_sha256(files))
+    joined = ex.select("repo", "path", "content", "content_sha256").collect()
+    for r in joined:
+        assert r["content_sha256"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_extract_imports_per_language(spark):
+    rows = [
+        ("r1", "src/a.py", "c1", "python", "import foo.bar\nfrom baz import q\nx=1"),
+        ("r1", "src/b.java", "c2", "java", "package p;\nimport com.ex.Lib;\nimport static com.ex.S.x;"),
+        ("r1", "src/c.js", "c3", "javascript", "const a = require('lodash');\nimport x from 'react';"),
+        ("r1", "src/d.go", "c4", "go", 'import (\n  "fmt"\n  "github.com/x/y"\n)'),
+        ("r1", "src/e.py", "c5", "unknown_lang", "import nothing"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    got = {r["path"]: r["imports"] for r in extract_imports(df).collect()}
+    assert got["src/a.py"] == ["foo.bar", "baz"]
+    assert got["src/b.java"] == ["com.ex.Lib", "com.ex.S.x"]
+    assert got["src/c.js"] == ["lodash", "react"]
+    assert got["src/d.go"] == ["fmt", "github.com/x/y"]
+    assert got["src/e.py"] == []
+
+
+def test_repo_edges_resolve_providers(spark, files):
+    e = repo_edges(files, verify_invariant=True)
+    rows = e.collect()
+    assert len(rows) > 0
+    # no self-loops, weights are positive reference counts
+    for r in rows:
+        assert r["src_repo"] != r["dst_repo"]
+        assert r["weight"] >= 1.0
+        assert r["src"] != r["dst"]
+
+
+def test_pagerank_on_repo_graph(spark, files):
+    g, mapping = repo_graph(files)
+    res = pagerank(g, max_iterations=10)
+    scores = res.scores.join(mapping, "id").select("repo", "score").collect()
+    assert len(scores) == mapping.count()
+    assert all(r["score"] >= 0.15 - 1e-9 for r in scores)
+    comps = wcc(g, compute_set_count=True)
+    assert comps.set_count >= 1
+
+
+def test_path_edges(spark, files):
+    pe = path_edges(files)
+    assert pe.count() > 0
+    r = pe.first()
+    assert "::" in r["src_file"] and "::" in r["dst_file"]
+
+
+def test_load_graph_projection(spark):
+    vertices = spark.createDataFrame(
+        [(0, "Person"), (1, "Person"), (2, "City")], "id long, label string"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1, "KNOWS", 2.0), (0, 2, "LIVES_IN", 1.0), (1, 2, "LIVES_IN", None)],
+        "src long, dst long, type string, cost double",
+    )
+    g = load_graph(
+        vertices, edges,
+        label="Person", relationship_type="KNOWS",
+        direction="OUTGOING", weight_property="cost", default_weight=9.0,
+    )
+    got = [(r.src, r.dst, r.weight) for r in g.edges.collect()]
+    assert got == [(0, 1, 2.0)]
+    # default weight fills missing property values
+    g2 = load_graph(None, edges, direction="OUTGOING", weight_property="cost", default_weight=9.0)
+    w = {(r.src, r.dst): r.weight for r in g2.edges.collect()}
+    assert w[(1, 2)] == 9.0
