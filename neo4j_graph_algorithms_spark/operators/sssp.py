@@ -68,13 +68,18 @@ def shortest_paths(
         it += 1
         t0 = time.time()
         f = frontier
+        deferred = None
         if delta is not None:
-            # delta-stepping: relax only the lowest open bucket
+            # delta-stepping: relax only the lowest open bucket; rows in
+            # higher buckets are *deferred*, not dropped — they rejoin the
+            # frontier next superstep (possibly with an improved distance,
+            # resolved by the min-merge below).
             min_open = f.agg(F.min("d")).first()[0]
             if min_open is None:
                 break
-            bucket = int(min_open / delta)
-            f = f.filter(F.col("d") < F.lit((bucket + 1) * delta))
+            bucket_end = (int(min_open / delta) + 1) * delta
+            deferred = f.filter(F.col("d") >= F.lit(bucket_end))
+            f = f.filter(F.col("d") < F.lit(bucket_end))
         relax = (
             edges.join(f, "src")
             .groupBy(F.col("dst").alias("id"))
@@ -100,11 +105,22 @@ def shortest_paths(
             }
         )
         dist = joined.select("id", "distance")
-        if improved == 0:
-            break
         frontier = joined.filter(F.col("improved")).select(
             F.col("id").alias("src"), F.col("distance").alias("d")
         )
+        if deferred is not None:
+            # min-merge: a deferred row whose distance improved this round
+            # appears in both branches; keep the smaller distance.
+            frontier = (
+                frontier.unionByName(deferred)
+                .groupBy("src")
+                .agg(F.min("d").alias("d"))
+            )
+            frontier = truncate_lineage(frontier)
+            if improved == 0 and frontier.isEmpty():
+                break
+        elif improved == 0:
+            break
 
     edges.unpersist()
     return SsspResult(distances=dist, iterations_ran=it, metrics=metrics)

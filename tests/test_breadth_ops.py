@@ -79,6 +79,16 @@ def test_sssp_delta_stepping_same_result(spark, sssp_graph):
     assert plain == delta
 
 
+def test_sssp_delta_stepping_deferred_bucket_not_dropped(spark):
+    # Vertex 1 enters the frontier at d=10 (bucket 5) while bucket 0 is
+    # still open, and is never improved afterwards — a buggy delta loop
+    # that drops out-of-bucket frontier rows would never relax 1→2.
+    edges = [(0, 1, 10.0), (1, 2, 1.0), (0, 3, 1.0)]
+    g = Graph.from_edge_list(spark, edges, vertices=range(4))
+    got = {r["id"]: r["distance"] for r in shortest_paths(g, 0, delta=2.0).distances.collect()}
+    assert got == {0: 0.0, 1: 10.0, 2: 11.0, 3: 1.0}
+
+
 def test_point_to_point(spark, sssp_graph):
     assert shortest_path(sssp_graph, 0, 4) == pytest.approx(7.0)
     assert shortest_path(sssp_graph, 0, 6) == float("inf")
