@@ -52,19 +52,28 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_size: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """``(id, sig array<string>)`` — sig[i] = min over shingles of
     md5(i ':' shingle).  Salted-md5 minhash: deterministic, engine-
-    portable, and computed in one pass over the shingle array with
-    higher-order functions (no explode, no shuffle)."""
+    portable, and computed in ONE ``aggregate`` pass over the shingle
+    array (tokenize once, k salted hashes per shingle, element-wise
+    min-fold) — no explode, no shuffle, no re-tokenization per salt.
+    ``num_partitions`` repartitions first: the map-side work is heavy
+    (k·shingles md5 calls per doc), so small single-split inputs should
+    be spread across cores."""
+    if num_partitions:
+        df = df.repartition(num_partitions, id_col)
     sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_size))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
-            for i in range(num_hashes)
-        ]
+    # "~" sorts after every lowercase-hex md5 digest, so it survives the
+    # min-fold only for empty shingle sets; those rows are filtered by
+    # callers (len(s)==0 docs carry no signature semantics).
+    init = F.array_repeat(F.lit("~"), num_hashes)
+    salted = lambda s: F.array(  # noqa: E731
+        *[F.md5(F.concat(F.lit(f"{i}:"), s)) for i in range(num_hashes)]
+    )
+    sig = F.aggregate(
+        sh, init, lambda acc, s: F.zip_with(acc, salted(s), lambda a, b: F.least(a, b))
     )
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
@@ -76,11 +85,16 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """``(id_a, id_b)`` candidate near-duplicate pairs (id_a < id_b):
-    docs sharing at least one LSH band.  bands × rows = num_hashes."""
+    docs sharing at least one LSH band.  bands × rows = num_hashes.
+    Docs with no shingles (under ``shingle_size`` tokens) are excluded —
+    an empty set has no minhash."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size, num_partitions
+    ).filter(F.col("sig")[0] != "~")
     band_cols = []
     for b in range(bands):
         band_cols.append(
