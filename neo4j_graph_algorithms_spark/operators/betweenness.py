@@ -60,7 +60,7 @@ def _forward_levels(edges: DataFrame, sources: list[int], spark) -> DataFrame:
             .withColumn("depth", F.lit(depth))
             .select("source", "id", "depth", "sigma")
         )
-        nxt = truncate_lineage(nxt)
+        nxt = truncate_lineage(nxt, eager=False)
         if nxt.isEmpty():
             break
         levels.append(nxt)

@@ -61,6 +61,28 @@ def label_propagation(
     reference's ``partition`` node property; missing vertices fall back
     to their own id.  ``node_weights``: optional ``(id, node_weight
     double)`` — the reference's ``weight`` property, default 1.0."""
+    spark = graph.spark
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _run(
+            graph, direction, max_iterations, node_labels, node_weights,
+            checkpointer, checkpoint_interval,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _run(
+    graph: Graph,
+    direction: str,
+    max_iterations: int,
+    node_labels: DataFrame | None,
+    node_weights: DataFrame | None,
+    checkpointer: SuperstepCheckpointer | None,
+    checkpoint_interval: int,
+) -> LabelPropagationResult:
+    n_part = int(graph.spark.conf.get("spark.sql.shuffle.partitions", "200"))
     vertices = graph.vertices.select("id")
 
     seed = node_labels
@@ -102,9 +124,13 @@ def label_propagation(
         raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction}")
 
     # vote weight = edge_weight(v,t) * node_weight(t)  (LabelPropagation.java:286)
+    # Persisted hash-partitioned by nbr: the per-superstep scatter join
+    # against the id-partitioned labels is then exchange-free, leaving
+    # the two-level tally aggregation as the only shuffles.
     votes_edges = (
         votes_edges.join(weights.withColumnRenamed("id", "nbr"), "nbr")
         .select("voter", "nbr", (F.col("weight") * F.col("node_weight")).alias("vote_w"))
+        .repartition(n_part, "nbr")
         .persist()
     )
     votes_edges.count()
@@ -117,7 +143,7 @@ def label_propagation(
             labels = checkpointer.load(last, ["labels"])["labels"]
             start_iter = last
             metrics = checkpointer.metrics()
-    labels = truncate_lineage(labels.repartition("id"))
+    labels = truncate_lineage(labels.repartition(n_part, "id"))
 
     did_converge = False
     it = start_iter
@@ -147,7 +173,8 @@ def label_propagation(
                 it, {"labels": new_labels}, {"algorithm": "label_propagation"}
             )["labels"]
         else:
-            new_labels = truncate_lineage(new_labels)
+            # lazy cut; the changed-count below is the materializing job
+            new_labels = truncate_lineage(new_labels, eager=False)
         changed = new_labels.filter(F.col("changed")).count()
         metrics.append(
             {

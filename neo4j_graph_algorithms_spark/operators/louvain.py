@@ -121,7 +121,7 @@ def louvain(
                 wants.alias("wants"),
             )
         )
-        moved = truncate_lineage(moved)
+        moved = truncate_lineage(moved, eager=False)
         stats = moved.agg(
             F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("moved"),
             F.sum(F.when(F.col("wants"), 1).otherwise(0)).alias("wants"),

@@ -85,7 +85,7 @@ def msbfs_levels(
             )
             .filter(F.col("mask") != 0)
         )
-        nxt = truncate_lineage(nxt)
+        nxt = truncate_lineage(nxt, eager=False)
         if nxt.isEmpty():
             break
         out_rows.append(nxt.select("id", "mask", F.lit(depth).alias("depth")))

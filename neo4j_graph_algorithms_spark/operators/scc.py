@@ -74,7 +74,7 @@ def _propagate_max(edges: DataFrame, init: DataFrame, along_src_to_dst: bool) ->
             ),
             (F.coalesce(F.col("cand"), F.col("color")) > F.col("color")).alias("changed"),
         )
-        nxt = truncate_lineage(nxt)
+        nxt = truncate_lineage(nxt, eager=False)
         if nxt.filter(F.col("changed")).isEmpty():
             return nxt.select("id", "color")
         state = nxt.select("id", "color")
@@ -120,7 +120,7 @@ def scc(graph: Graph, max_rounds: int = 10_000) -> SccResult:
                 .filter(F.col("color") == F.col("vc"))
                 .select("id", "color")
             )
-            grow = truncate_lineage(grow)
+            grow = truncate_lineage(grow, eager=False)
             if grow.isEmpty():
                 break
             in_scc = truncate_lineage(in_scc.unionByName(grow).distinct())

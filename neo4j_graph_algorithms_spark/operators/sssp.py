@@ -94,7 +94,7 @@ def shortest_paths(
                 "improved"
             ),
         )
-        joined = truncate_lineage(joined)
+        joined = truncate_lineage(joined, eager=False)
         improved = joined.filter(F.col("improved")).count()
         metrics.append(
             {

@@ -60,13 +60,39 @@ def wcc(
     ``weight >= threshold`` first (``UnionFindProcExec`` ``"threshold"``
     config key, ``GraphUnionFind.java:89-93``)."""
     g = graph if threshold is None else graph.filter_weight(threshold)
+    spark = graph.spark
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _run(
+            graph, g, n_part, max_iterations, checkpointer,
+            checkpoint_interval, broadcast_frontier_rows, compute_set_count,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
-    # Undirected message edges: each edge both ways, deduped.
+
+def _run(
+    graph: Graph,
+    g: Graph,
+    n_part: int,
+    max_iterations: int,
+    checkpointer: SuperstepCheckpointer | None,
+    checkpoint_interval: int,
+    broadcast_frontier_rows: int,
+    compute_set_count: bool,
+) -> WccResult:
+    # Undirected message edges: each edge both ways, deduped; persisted
+    # hash-partitioned by src so the per-superstep scatter join against
+    # the id-partitioned state needs no exchange (one shuffle per
+    # superstep: the gather groupBy(dst)).
     both = (
         g.edges.select("src", "dst")
         .union(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
+        .repartition(n_part, "src")
         .persist()
     )
     both.count()
@@ -81,7 +107,7 @@ def wcc(
             state = checkpointer.load(last, ["state"])["state"]
             start_iter = last
             metrics = checkpointer.metrics()
-    state = truncate_lineage(state.repartition("id"))
+    state = truncate_lineage(state.repartition(n_part, "id"))
     frontier = state.select(F.col("id").alias("src"), "comp")
     frontier_rows = None
 
@@ -107,7 +133,8 @@ def wcc(
                 it, {"state": joined}, {"algorithm": "wcc"}
             )["state"]
         else:
-            joined = truncate_lineage(joined)
+            # lazy cut; the changed-count below is the materializing job
+            joined = truncate_lineage(joined, eager=False)
         changed = joined.filter(F.col("changed")).count()
         metrics.append(
             {

@@ -24,14 +24,20 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["REPO"])
 from neo4j_graph_algorithms_spark import Graph, pagerank
-from neo4j_graph_algorithms_spark import driver_queries as dq
 from neo4j_graph_algorithms_spark.session import get_spark
+from neo4j_graph_algorithms_spark.sources.extract import path_edges
+from neo4j_graph_algorithms_spark.sources.repo_source import synthetic_repo_files
 
 cores = int(os.environ["CORES"])
-sf_dir = os.environ["SF_DIR"]
-repeat = int(os.environ.get("REPEAT", "3"))
+repeat = int(os.environ.get("REPEAT", "1"))
+n_repos = int(os.environ.get("N_REPOS", "20000"))
 spark = get_spark(app_name=f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
-edges = dq.cs_edges(spark, sf_dir).persist()
+# North-rule input: deterministic synthetic source-repo table ->
+# Arrow-UDF import extraction -> file->file edge graph (identical at
+# every parallelism level).  Generation/extraction is load, not the
+# timed computation.
+files = synthetic_repo_files(spark, n_repos=n_repos, files_per_repo=50, max_imports=8)
+edges = path_edges(files).select("src", "dst").persist()
 n_edges = edges.count()
 g = Graph.from_edges(edges)
 # warmup (JIT + shuffle infrastructure)
@@ -39,7 +45,7 @@ pagerank(g, max_iterations=3).scores.count()
 best = None
 for _ in range(repeat):
     t0 = time.time()
-    res = pagerank(g, max_iterations=100, tolerance=1e-6)
+    res = pagerank(g, max_iterations=200, tolerance=1e-6)
     res.scores.count()
     dt = time.time() - t0
     if best is None or dt < best:
@@ -65,22 +71,24 @@ def run_level(cores: int, sf_dir: str, repeat: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--n-repos", type=int, default=20000)
+    ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
-    lo = run_level(args.n, args.sf_dir, args.repeat)
-    hi = run_level(args.n * 4, args.sf_dir, args.repeat)
+    os.environ["N_REPOS"] = str(args.n_repos)
+    lo = run_level(args.n, "", args.repeat)
+    hi = run_level(args.n * 4, "", args.repeat)
     eff = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4.0
 
     md = f"""# BENCH/BASELINE — scaling evidence (sandbox protocol)
 
 North metric: PageRank edges-processed/sec, supersteps to 1e-6
-convergence, identical deterministic input ({args.sf_dir}), best of
-{args.repeat} runs after warmup.  Sandbox substitute for N vs 4N
-executors per BASELINE.md: same job at local[{args.n}] vs
-local[{args.n * 4}] in separate JVMs.
+convergence, identical deterministic input (synthetic source-repo
+table, {args.n_repos} repos x 50 files -> Arrow-UDF import extraction
+-> file-level edge graph), best of {args.repeat} run(s) after warmup.
+Sandbox substitute for N vs 4N executors per BASELINE.md: same job at
+local[{args.n}] vs local[{args.n * 4}] in separate JVMs.
 
 | level | cores | edges | supersteps | seconds | edges/sec |
 |---|---|---|---|---|---|
