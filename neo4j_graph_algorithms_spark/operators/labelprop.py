@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import SuperstepCheckpointer, truncate_lineage
+from ..plans.checkpoint import SuperstepCache, SuperstepCheckpointer, truncate_lineage
 
 OUTGOING = "OUTGOING"
 INCOMING = "INCOMING"
@@ -143,13 +143,17 @@ def _run(
             labels = checkpointer.load(last, ["labels"])["labels"]
             start_iter = last
             metrics = checkpointer.metrics()
+    cache = SuperstepCache(graph.spark)
+    cache.begin()
     labels = truncate_lineage(labels.repartition(n_part, "id"))
+    cache.commit()
 
     did_converge = False
     it = start_iter
     while it < max_iterations:
         it += 1
         t0 = time.time()
+        cache.begin()
         tallies = (
             votes_edges.join(
                 labels.select(F.col("id").alias("nbr"), F.col("label").alias("cand")),
@@ -176,6 +180,7 @@ def _run(
             # lazy cut; the changed-count below is the materializing job
             new_labels = truncate_lineage(new_labels, eager=False)
         changed = new_labels.filter(F.col("changed")).count()
+        cache.commit()  # retire the previous superstep's cached labels
         metrics.append(
             {
                 "algorithm": "label_propagation",

@@ -55,7 +55,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import SuperstepCheckpointer, skew_ratio, truncate_lineage
+from ..plans.checkpoint import (
+    SuperstepCache,
+    SuperstepCheckpointer,
+    skew_ratio,
+    truncate_lineage,
+)
 
 
 @dataclass
@@ -76,9 +81,22 @@ def pagerank(
     broadcast_frontier_rows: int = 100_000,
     collect_skew_metric: bool = False,
     adaptive: bool = False,
+    storage: str = "edges",
+    hub_degree: int = 100_000,
 ) -> PageRankResult:
     """Run PageRank; defaults mirror ``PageRankProc.java:52-56``
     (damping 0.85, 20 iterations, unweighted, OUTGOING edges).
+
+    ``storage`` picks the scatter-side layout:
+
+    - ``"adjacency"`` (default): salted CSR-style adjacency blocks
+      ``(src, dsts array<long>, degree)`` — the reference's CSR
+      (``HugeGraphFactory.java:360-395``) as the north rule asks.  The
+      per-superstep join touches one row per (active) vertex instead of
+      one per edge; hubs above ``hub_degree`` are split across salted
+      rows so one row never carries an unbounded array.
+    - ``"edges"``: flat ``(src, dst, outdeg)`` rows — simpler, and the
+      better choice when the frontier is a tiny fraction of vertices.
 
     ``adaptive=False`` suspends AQE for the superstep loop (restored
     after): the loop's joins are exchange-free by co-partitioning, so
@@ -100,6 +118,8 @@ def pagerank(
             checkpoint_interval,
             broadcast_frontier_rows,
             collect_skew_metric,
+            storage,
+            hub_degree,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -114,17 +134,29 @@ def _run(
     checkpoint_interval: int,
     broadcast_frontier_rows: int,
     collect_skew_metric: bool,
+    storage: str,
+    hub_degree: int,
 ) -> PageRankResult:
     spark = graph.spark
     d = float(damping)
     alpha = 1.0 - d
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
-    # (src, dst, src outdegree) — weight is ignored (reference PageRank
-    # loads withoutRelationshipWeights, PageRankProc.java:147).
-    out_deg = graph.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges = graph.edges.select("src", "dst").join(out_deg, "src")
-    edges = edges.select("src", "dst", "outdeg").repartition(n_part, "src").persist()
+    # Scatter-side layout — weight is ignored either way (reference
+    # PageRank loads withoutRelationshipWeights, PageRankProc.java:147).
+    if storage == "adjacency":
+        edges = (
+            graph.adjacency(hub_degree=hub_degree, sort_neighbors=False)
+            .select("src", "dsts", "degree")
+            .repartition(n_part, "src")
+            .persist()
+        )
+    elif storage == "edges":
+        out_deg = graph.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        edges = graph.edges.select("src", "dst").join(out_deg, "src")
+        edges = edges.select("src", "dst", "outdeg").repartition(n_part, "src").persist()
+    else:
+        raise ValueError(f"storage must be 'adjacency' or 'edges', got {storage!r}")
     edges.count()  # materialize once; reused every superstep
 
     metrics: list[dict] = []
@@ -143,7 +175,10 @@ def _run(
             F.lit(alpha).alias("rank"),
             F.lit(alpha).alias("delta"),
         )
+    cache = SuperstepCache(spark)
+    cache.begin()
     state = truncate_lineage(state.repartition(n_part, "id"))
+    cache.commit()
 
     converged = False
     it = start_iter
@@ -151,16 +186,28 @@ def _run(
     while it < max_iterations:
         it += 1
         t0 = time.time()
+        cache.begin()
         frontier = state.filter(F.col("delta") != 0.0).select(
             F.col("id").alias("src"), F.col("delta")
         )
         if active_rows is not None and active_rows <= broadcast_frontier_rows:
             frontier = F.broadcast(frontier)
-        msgs = (
-            edges.join(frontier, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("delta") / F.col("outdeg")).alias("msg"))
-        )
+        if storage == "adjacency":
+            msgs = (
+                edges.join(frontier, "src")
+                .select(
+                    F.explode("dsts").alias("dst"),
+                    (F.col("delta") / F.col("degree")).alias("contrib"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("msg"))
+            )
+        else:
+            msgs = (
+                edges.join(frontier, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("delta") / F.col("outdeg")).alias("msg"))
+            )
         new_state = (
             state.join(msgs, state["id"] == msgs["dst"], "left")
             .select(
@@ -183,9 +230,10 @@ def _run(
                 wall_ms=int(1000 * (time.time() - t0)),
             )
             if collect_skew_metric:
-                iter_metrics["skew_ratio"] = skew_ratio(
-                    edges.join(frontier.select("src"), "src"), "dst"
-                )
+                flat = edges.join(frontier.select("src"), "src")
+                if storage == "adjacency":
+                    flat = flat.select(F.explode("dsts").alias("dst"))
+                iter_metrics["skew_ratio"] = skew_ratio(flat, "dst")
             new_state = checkpointer.save(it, {"state": new_state}, iter_metrics)["state"]
         else:
             # lazy lineage cut + a single materializing aggregate — ONE
@@ -204,6 +252,7 @@ def _run(
             else:
                 new_state.agg(F.count(F.lit(1))).first()
             iter_metrics["wall_ms"] = int(1000 * (time.time() - t0))
+        cache.commit()  # retire the previous superstep's cached state
         metrics.append(iter_metrics)
         active_rows = iter_metrics.get("active_vertices")
         state = new_state

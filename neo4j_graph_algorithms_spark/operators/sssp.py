@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import truncate_lineage
+from ..plans.checkpoint import SuperstepCache, truncate_lineage
 
 
 @dataclass
@@ -62,11 +62,13 @@ def shortest_paths(
     frontier = dist.filter(F.col("distance") < inf).select(
         F.col("id").alias("src"), F.col("distance").alias("d")
     )
+    cache = SuperstepCache(graph.spark)
     metrics: list[dict] = []
     it = 0
     while it < max_iterations:
         it += 1
         t0 = time.time()
+        cache.begin()
         f = frontier
         deferred = None
         if delta is not None:
@@ -118,9 +120,15 @@ def shortest_paths(
             )
             frontier = truncate_lineage(frontier)
             if improved == 0 and frontier.isEmpty():
+                cache.commit()
                 break
         elif improved == 0:
+            cache.commit()
             break
+        # retire the previous iteration's cached state/frontier (the
+        # commit window must close after BOTH of this iteration's
+        # checkpoints exist, or the deferred-frontier RDD leaks)
+        cache.commit()
 
     edges.unpersist()
     return SsspResult(distances=dist, iterations_ran=it, metrics=metrics)

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import SuperstepCheckpointer, truncate_lineage
+from ..plans.checkpoint import SuperstepCache, SuperstepCheckpointer, truncate_lineage
 
 
 @dataclass
@@ -107,7 +107,10 @@ def _run(
             state = checkpointer.load(last, ["state"])["state"]
             start_iter = last
             metrics = checkpointer.metrics()
+    cache = SuperstepCache(graph.spark)
+    cache.begin()
     state = truncate_lineage(state.repartition(n_part, "id"))
+    cache.commit()
     frontier = state.select(F.col("id").alias("src"), "comp")
     frontier_rows = None
 
@@ -115,6 +118,7 @@ def _run(
     while it < max_iterations:
         it += 1
         t0 = time.time()
+        cache.begin()
         f = frontier
         if frontier_rows is not None and frontier_rows <= broadcast_frontier_rows:
             f = F.broadcast(f)
@@ -136,6 +140,7 @@ def _run(
             # lazy cut; the changed-count below is the materializing job
             joined = truncate_lineage(joined, eager=False)
         changed = joined.filter(F.col("changed")).count()
+        cache.commit()  # retire the previous superstep's cached state
         metrics.append(
             {
                 "algorithm": "wcc",

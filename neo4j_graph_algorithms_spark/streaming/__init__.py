@@ -1,3 +1,13 @@
-from .edge_stream import streaming_edge_counts, streaming_degrees, streaming_window_stats
+from .edge_stream import (
+    streaming_dedup_first_seen,
+    streaming_degrees,
+    streaming_edge_counts,
+    streaming_window_stats,
+)
 
-__all__ = ["streaming_edge_counts", "streaming_degrees", "streaming_window_stats"]
+__all__ = [
+    "streaming_dedup_first_seen",
+    "streaming_degrees",
+    "streaming_edge_counts",
+    "streaming_window_stats",
+]

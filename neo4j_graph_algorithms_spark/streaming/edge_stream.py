@@ -11,6 +11,12 @@ these operators keep the engine's inputs fresh without re-scanning:
 - ``streaming_window_stats``: watermarked tumbling-window event stats —
   late data dropped after the watermark, matching the batch
   ``events_window_counts`` query shape.
+- ``streaming_dedup_first_seen``: custom stateful operator
+  (``applyInPandasWithState``) — exact streaming dedup keyed on the
+  content hash: the first-seen doc per hash survives, later arrivals
+  are emitted flagged ``is_duplicate`` with the surviving id.  State
+  per key is one (keep_id, count) pair, so state size is O(distinct
+  hashes), not O(stream).
 
 All take a streaming DataFrame (``spark.readStream``) and return the
 transformed streaming DataFrame; callers own the sink/trigger so tests
@@ -19,8 +25,12 @@ drive them with ``format("memory")`` + ``processAllAvailable``.
 
 from __future__ import annotations
 
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def streaming_edge_counts(edges: DataFrame) -> DataFrame:
@@ -35,6 +45,50 @@ def streaming_degrees(edges: DataFrame) -> DataFrame:
     """``(id, out_degree)`` running counts."""
     return edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
+    )
+
+
+DEDUP_OUT_SCHEMA = (
+    "text_hash string, doc_id long, keep_id long, is_duplicate boolean, dup_index long"
+)
+DEDUP_STATE_SCHEMA = "keep_id long, seen long"
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        keep_id, seen = state.get
+    else:
+        keep_id, seen = None, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values("doc_id")
+        out = []
+        for doc_id in pdf["doc_id"]:
+            if keep_id is None:
+                keep_id = int(doc_id)
+            seen += 1
+            out.append(
+                (key[0], int(doc_id), keep_id, int(doc_id) != keep_id, seen - 1)
+            )
+        yield pd.DataFrame(
+            out, columns=["text_hash", "doc_id", "keep_id", "is_duplicate", "dup_index"]
+        )
+    state.update((keep_id, seen))
+
+
+def streaming_dedup_first_seen(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateful exact dedup over a document stream: rows grouped by
+    ``md5(text)``; per group the state remembers the first-seen doc_id
+    (within a batch, the smallest doc_id — deterministic) and how many
+    rows the hash has produced so far."""
+    keyed = docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col("doc_id"))
+    return keyed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -111,3 +111,21 @@ def test_load_graph_projection(spark):
     g2 = load_graph(None, edges, direction="OUTGOING", weight_property="cost", default_weight=9.0)
     w = {(r.src, r.dst): r.weight for r in g2.edges.collect()}
     assert w[(1, 2)] == 9.0
+
+
+def test_writeback_node_property(spark, tmp_path):
+    from neo4j_graph_algorithms_spark.sources import (
+        with_node_property,
+        write_node_property,
+    )
+
+    vertices = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, name string")
+    result = spark.createDataFrame([(1, 0.5), (2, 0.7)], "id long, score double")
+    out = with_node_property(vertices, result, "pagerank", default=0.15)
+    got = {r["id"]: (r["name"], r["pagerank"]) for r in out.collect()}
+    assert got == {1: ("a", 0.5), 2: ("b", 0.7), 3: ("c", 0.15)}
+
+    p = str(tmp_path / "verts")
+    write_node_property(vertices, result, "partition", p, default=-1)
+    back = {r["id"]: r["partition"] for r in spark.read.parquet(p).collect()}
+    assert back == {1: 0.5, 2: 0.7, 3: -1.0}

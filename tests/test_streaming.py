@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from neo4j_graph_algorithms_spark.streaming import (
+    streaming_dedup_first_seen,
     streaming_degrees,
     streaming_window_stats,
 )
@@ -72,3 +73,39 @@ def test_streaming_degrees(spark, tmp_path):
     _drain(q)
     got = {r["id"]: r["out_degree"] for r in spark.sql("SELECT * FROM deg").collect()}
     assert got == {0: 2, 1: 1}
+
+
+def test_streaming_dedup_first_seen_stateful(spark, tmp_path):
+    # two micro-batches in one directory stream: state must carry the
+    # first batch's keep_id into the second
+    d = tmp_path / "docs"
+    d.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(d))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    q = (
+        streaming_dedup_first_seen(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch arrives: new dup of "alpha" + a fresh text
+    b2 = spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma")], "doc_id long, text string"
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(d))
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        r["doc_id"]: (r["keep_id"], r["is_duplicate"], r["dup_index"])
+        for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    }
+    assert rows[1] == (1, False, 0)
+    assert rows[3] == (1, True, 1)
+    assert rows[4] == (1, True, 2)   # state survived across batches
+    assert rows[2] == (2, False, 0)
+    assert rows[5] == (5, False, 0)
