@@ -250,7 +250,10 @@ def _run(
                     active_vertices=int(stats["active"] or 0),
                 )
             else:
-                new_state.agg(F.count(F.lit(1))).first()
+                row = new_state.agg(
+                    F.sum(F.when(F.col("delta") != 0.0, 1).otherwise(0)).alias("active")
+                ).first()
+                iter_metrics["active_vertices"] = int(row["active"] or 0)
             iter_metrics["wall_ms"] = int(1000 * (time.time() - t0))
         cache.commit()  # retire the previous superstep's cached state
         metrics.append(iter_metrics)
