@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import truncate_lineage
+from ..plans.checkpoint import SuperstepCache, truncate_lineage
 
 OMEGA = 62  # sources per long mask (sign bit avoided)
 
@@ -63,6 +63,7 @@ def msbfs_levels(
     seen = src_df.groupBy("id").agg(F.sum("bit").alias("seen_mask"))
     frontier = seen.select("id", F.col("seen_mask").alias("mask"))
     out_rows = [frontier.select("id", F.col("mask"), F.lit(0).alias("depth"))]
+    cache = SuperstepCache(spark)
 
     depth = 0
     while True:
@@ -89,6 +90,11 @@ def msbfs_levels(
         if nxt.isEmpty():
             break
         out_rows.append(nxt.select("id", "mask", F.lit(depth).alias("depth")))
+        # retire only the seen-chain: each level's frontier (nxt) stays
+        # cached — the final union consumes every level — but seen(t-1)
+        # is dead once seen(t) materializes.  The begin/commit window
+        # opens after nxt is materialized so nxt is never captured.
+        cache.begin()
         seen = truncate_lineage(
             seen.join(nxt.select("id", "mask"), "id", "full")
             .select(
@@ -98,6 +104,7 @@ def msbfs_levels(
                 .alias("seen_mask"),
             )
         )
+        cache.commit()
         frontier = nxt.select("id", "mask")
 
     e.unpersist()
