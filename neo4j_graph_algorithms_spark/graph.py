@@ -224,17 +224,25 @@ class Graph:
     # ------------------------------------------------------------------ #
     # misc
     # ------------------------------------------------------------------ #
-    def dense_ids(self) -> DataFrame:
+    def dense_ids(self, num_partitions: int | None = None) -> DataFrame:
         """Deterministic dense rank ``(id, vid)`` with vid in 0..n-1 —
-        the ``IdMap`` equivalent, kept as a join dimension (never an
-        in-place renumber).  Uses a sort-based rank, so it is reproducible
-        across runs, unlike ``monotonically_increasing_id``."""
-        from pyspark.sql import Window
+        the ``IdMap`` equivalent (``core/IdMap.java:36-40``), kept as a
+        join dimension (never an in-place renumber).
 
-        w = Window.orderBy("id")
-        return self.vertices.select("id").withColumn(
-            "vid", F.row_number().over(w).cast("long") - 1
+        Scale shape: range-partition by id, sort within partitions,
+        then ``zipWithIndex`` (one extra job to count per-partition
+        sizes, no global single-partition sort).  Deterministic given
+        the same vertex set — ranks follow the total order on id."""
+        spark = self.spark
+        if num_partitions is None:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        v = (
+            self.vertices.select("id")
+            .repartitionByRange(num_partitions, "id")
+            .sortWithinPartitions("id")
         )
+        rdd = v.rdd.map(lambda r: r[0]).zipWithIndex()
+        return spark.createDataFrame(rdd, "id long, vid long")
 
     def num_vertices(self) -> int:
         return self.vertices.count()

@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import SuperstepCache, SuperstepCheckpointer, truncate_lineage
+from ..plans.checkpoint import (
+    SuperstepCache,
+    SuperstepCheckpointer,
+    aqe_suspended,
+    truncate_lineage,
+)
 
 OUTGOING = "OUTGOING"
 INCOMING = "INCOMING"
@@ -61,16 +66,11 @@ def label_propagation(
     reference's ``partition`` node property; missing vertices fall back
     to their own id.  ``node_weights``: optional ``(id, node_weight
     double)`` — the reference's ``weight`` property, default 1.0."""
-    spark = graph.spark
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    with aqe_suspended(graph.spark):
         return _run(
             graph, direction, max_iterations, node_labels, node_weights,
             checkpointer, checkpoint_interval,
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
 def _run(
@@ -144,16 +144,14 @@ def _run(
             start_iter = last
             metrics = checkpointer.metrics()
     cache = SuperstepCache(graph.spark)
-    cache.begin()
-    labels = truncate_lineage(labels.repartition(n_part, "id"))
-    cache.commit()
+    labels = truncate_lineage(labels.repartition(n_part, "id"))  # eager
+    cache.track(labels)
 
     did_converge = False
     it = start_iter
     while it < max_iterations:
         it += 1
         t0 = time.time()
-        cache.begin()
         tallies = (
             votes_edges.join(
                 labels.select(F.col("id").alias("nbr"), F.col("label").alias("cand")),
@@ -180,7 +178,7 @@ def _run(
             # lazy cut; the changed-count below is the materializing job
             new_labels = truncate_lineage(new_labels, eager=False)
         changed = new_labels.filter(F.col("changed")).count()
-        cache.commit()  # retire the previous superstep's cached labels
+        cache.track(new_labels)  # retire the previous superstep's cached labels
         metrics.append(
             {
                 "algorithm": "label_propagation",

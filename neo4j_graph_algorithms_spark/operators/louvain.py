@@ -68,16 +68,14 @@ def louvain(
     mq2 = m2 * m2
 
     cache = SuperstepCache(spark)
-    cache.begin()
     comm = truncate_lineage(vertices.select("id", F.col("id").alias("community")))
-    cache.commit()
+    cache.track(comm)
     metrics: list[dict] = []
     did_converge = False
     it = 0
     while it < max_iterations:
         it += 1
         t0 = time.time()
-        cache.begin()
         stot = (
             comm.join(vertices, "id")
             .groupBy("community")
@@ -131,7 +129,7 @@ def louvain(
             F.sum(F.when(F.col("wants"), 1).otherwise(0)).alias("wants"),
         ).first()
         changed, want_move = int(stats["moved"] or 0), int(stats["wants"] or 0)
-        cache.commit()  # retire the previous iteration's cached communities
+        cache.track(moved)  # retire the previous iteration's cached communities
         metrics.append(
             {
                 "algorithm": "louvain",

@@ -92,10 +92,9 @@ def msbfs_levels(
         out_rows.append(nxt.select("id", "mask", F.lit(depth).alias("depth")))
         # retire only the seen-chain: each level's frontier (nxt) stays
         # cached — the final union consumes every level — but seen(t-1)
-        # is dead once seen(t) materializes.  The begin/commit window
-        # opens after nxt is materialized so nxt is never captured.
-        cache.begin()
-        seen = truncate_lineage(
+        # is dead once seen(t) materializes.  track() reads the RDD id
+        # off seen's own plan, so nxt is never captured.
+        seen = truncate_lineage(  # eager
             seen.join(nxt.select("id", "mask"), "id", "full")
             .select(
                 "id",
@@ -104,7 +103,7 @@ def msbfs_levels(
                 .alias("seen_mask"),
             )
         )
-        cache.commit()
+        cache.track(seen)
         frontier = nxt.select("id", "mask")
 
     e.unpersist()

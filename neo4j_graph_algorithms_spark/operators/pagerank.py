@@ -41,8 +41,10 @@ Scale notes (the part that must survive 10^12 edges):
   it is broadcast instead (north rule's "broadcast of high-degree
   frontier") — late supersteps then read edges in place;
 - per-superstep driver work is minimized: lineage is cut with a *lazy*
-  localCheckpoint, so tolerance mode runs ONE job per superstep (the
-  convergence aggregate) and fixed-iteration mode runs none;
+  localCheckpoint and both modes run exactly ONE job per superstep —
+  the materializing aggregate (max-delta + active count in tolerance
+  mode, active count alone in fixed mode), which is also what makes
+  retiring the previous superstep's checkpoint RDD safe;
 - durable resume + metrics via ``SuperstepCheckpointer``.
 """
 
@@ -58,6 +60,7 @@ from ..graph import Graph
 from ..plans.checkpoint import (
     SuperstepCache,
     SuperstepCheckpointer,
+    aqe_suspended,
     skew_ratio,
     truncate_lineage,
 )
@@ -89,26 +92,23 @@ def pagerank(
 
     ``storage`` picks the scatter-side layout:
 
-    - ``"adjacency"`` (default): salted CSR-style adjacency blocks
+    - ``"edges"`` (default): flat ``(src, dst, outdeg)`` rows — the
+      better choice when the frontier is a tiny fraction of vertices.
+    - ``"adjacency"``: salted CSR-style adjacency blocks
       ``(src, dsts array<long>, degree)`` — the reference's CSR
       (``HugeGraphFactory.java:360-395``) as the north rule asks.  The
       per-superstep join touches one row per (active) vertex instead of
       one per edge; hubs above ``hub_degree`` are split across salted
       rows so one row never carries an unbounded array.
-    - ``"edges"``: flat ``(src, dst, outdeg)`` rows — simpler, and the
-      better choice when the frontier is a tiny fraction of vertices.
 
     ``adaptive=False`` suspends AQE for the superstep loop (restored
-    after): the loop's joins are exchange-free by co-partitioning, so
-    AQE only adds per-stage replanning latency; its skew-join splitting
-    has nothing to split here (the gather is an aggregation, absorbed
-    by map-side partial agg).  Pass ``adaptive=True`` to leave AQE on —
-    e.g. when the edge build is part of this job's plan and skewed."""
-    spark = graph.spark
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    if not adaptive:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    after, refcounted across overlapping runs): the loop's joins are
+    exchange-free by co-partitioning, so AQE only adds per-stage
+    replanning latency; its skew-join splitting has nothing to split
+    here (the gather is an aggregation, absorbed by map-side partial
+    agg).  Pass ``adaptive=True`` to leave AQE on — e.g. when the edge
+    build is part of this job's plan and skewed."""
+    with aqe_suspended(graph.spark, enabled=adaptive):
         return _run(
             graph,
             damping,
@@ -121,8 +121,6 @@ def pagerank(
             storage,
             hub_degree,
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
 def _run(
@@ -176,9 +174,8 @@ def _run(
             F.lit(alpha).alias("delta"),
         )
     cache = SuperstepCache(spark)
-    cache.begin()
-    state = truncate_lineage(state.repartition(n_part, "id"))
-    cache.commit()
+    state = truncate_lineage(state.repartition(n_part, "id"))  # eager
+    cache.track(state)
 
     converged = False
     it = start_iter
@@ -186,7 +183,6 @@ def _run(
     while it < max_iterations:
         it += 1
         t0 = time.time()
-        cache.begin()
         frontier = state.filter(F.col("delta") != 0.0).select(
             F.col("id").alias("src"), F.col("delta")
         )
@@ -255,7 +251,7 @@ def _run(
                 ).first()
                 iter_metrics["active_vertices"] = int(row["active"] or 0)
             iter_metrics["wall_ms"] = int(1000 * (time.time() - t0))
-        cache.commit()  # retire the previous superstep's cached state
+        cache.track(new_state)  # retire the previous superstep's cached state
         metrics.append(iter_metrics)
         active_rows = iter_metrics.get("active_vertices")
         state = new_state

@@ -58,17 +58,17 @@ def shortest_paths(
         "id",
         F.when(F.col("id") == start_node, 0.0).otherwise(F.lit(inf)).alias("distance"),
     )
-    dist = truncate_lineage(dist.repartition("id"))
+    dist = truncate_lineage(dist.repartition("id"))  # eager
     frontier = dist.filter(F.col("distance") < inf).select(
         F.col("id").alias("src"), F.col("distance").alias("d")
     )
     cache = SuperstepCache(graph.spark)
+    cache.track(dist)
     metrics: list[dict] = []
     it = 0
     while it < max_iterations:
         it += 1
         t0 = time.time()
-        cache.begin()
         f = frontier
         deferred = None
         if delta is not None:
@@ -118,17 +118,16 @@ def shortest_paths(
                 .groupBy("src")
                 .agg(F.min("d").alias("d"))
             )
-            frontier = truncate_lineage(frontier)
+            frontier = truncate_lineage(frontier)  # eager
+            # retire the previous iteration's state AND frontier only
+            # after BOTH of this iteration's checkpoints are live
+            cache.track(joined, frontier)
             if improved == 0 and frontier.isEmpty():
-                cache.commit()
                 break
-        elif improved == 0:
-            cache.commit()
-            break
-        # retire the previous iteration's cached state/frontier (the
-        # commit window must close after BOTH of this iteration's
-        # checkpoints exist, or the deferred-frontier RDD leaks)
-        cache.commit()
+        else:
+            cache.track(joined)
+            if improved == 0:
+                break
 
     edges.unpersist()
     return SsspResult(distances=dist, iterations_ran=it, metrics=metrics)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import truncate_lineage
 
 
 @dataclass
@@ -71,11 +72,9 @@ def _oriented_edges(graph: Graph) -> tuple[DataFrame, DataFrame]:
     return oriented, deg
 
 
-def _triangles(graph: Graph) -> DataFrame:
-    """One row per triangle ``(a, b, c)`` with ids sorted ascending."""
-    oriented, _ = _oriented_edges(graph)
-    oe = oriented.persist()
-    oe.count()
+def _wedge_triangles(oe: DataFrame) -> DataFrame:
+    """One row per triangle ``(a, b, c)``, ids ascending, from a
+    (materialized) oriented edge set ``(src, dst, sdeg, ddeg)``."""
     e1 = oe.select(
         F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("vdeg")
     )
@@ -89,24 +88,45 @@ def _triangles(graph: Graph) -> DataFrame:
     )
     e3 = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     tri = wedges.join(e3, ["v", "w"], "left_semi").select("u", "v", "w")
-    out = tri.select(
+    return tri.select(
         F.array_sort(F.array("u", "v", "w")).alias("t")
     ).select(
         F.col("t")[0].alias("a"), F.col("t")[1].alias("b"), F.col("t")[2].alias("c")
     )
-    return out
+
+
+def _undirected_degrees(oe: DataFrame) -> DataFrame:
+    """``(id, degree)`` from the oriented edge set (each undirected edge
+    appears exactly once, so incidences = undirected degree)."""
+    return (
+        oe.select(F.col("src").alias("id"))
+        .unionAll(oe.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
 
 
 def triangle_stream(graph: Graph) -> DataFrame:
-    """``(a < b < c)`` one row per triangle — ``algo.triangle.stream``."""
-    return _triangles(graph)
+    """``(a < b < c)`` one row per triangle — ``algo.triangle.stream``.
+
+    The oriented edge set is materialized once (eager lineage cut) so
+    the three self-join branches read a cached copy instead of
+    recomputing the degree-orientation join per branch."""
+    oriented, _ = _oriented_edges(graph)
+    return _wedge_triangles(truncate_lineage(oriented))
 
 
 def triangle_count(graph: Graph, with_summary: bool = True) -> TriangleCountResult:
     """Per-node triangle counts + clustering coefficients —
     ``algo.triangleCount[.stream]`` with
-    ``clusteringCoefficientProperty`` (``TriangleProc.java:151-222``)."""
-    tri = _triangles(graph).persist()
+    ``clusteringCoefficientProperty`` (``TriangleProc.java:151-222``).
+
+    ``per_node`` is fully materialized before the intermediate triangle
+    set is released — consuming the result never re-runs the wedge
+    join, and counts + coefficients come from ONE computation."""
+    oriented, _ = _oriented_edges(graph)
+    oe = oriented.persist()
+    tri = _wedge_triangles(oe).persist()
     n_triangles = tri.count()
     member = (
         tri.select(F.col("a").alias("id"))
@@ -114,11 +134,10 @@ def triangle_count(graph: Graph, with_summary: bool = True) -> TriangleCountResu
         .unionAll(tri.select(F.col("c").alias("id")))
     )
     counts = member.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
-    _, deg = _oriented_edges(graph)
     per_node = (
         graph.vertices.select("id")
         .join(counts, "id", "left")
-        .join(deg, "id", "left")
+        .join(_undirected_degrees(oe), "id", "left")
         .select(
             "id",
             F.coalesce("triangles", F.lit(0)).alias("triangles"),
@@ -133,6 +152,7 @@ def triangle_count(graph: Graph, with_summary: bool = True) -> TriangleCountResu
         )
         .select("id", "triangles", "coefficient")
     )
+    per_node = truncate_lineage(per_node)  # eager: owns its data now
     node_count = 0
     avg_coeff = 0.0
     if with_summary:
@@ -142,6 +162,7 @@ def triangle_count(graph: Graph, with_summary: bool = True) -> TriangleCountResu
         node_count = int(row["n"])
         avg_coeff = float(row["avg"] or 0.0)
     tri.unpersist()
+    oe.unpersist()
     return TriangleCountResult(
         per_node=per_node,
         triangle_count=int(n_triangles),

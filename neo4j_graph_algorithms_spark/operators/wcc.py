@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import SuperstepCache, SuperstepCheckpointer, truncate_lineage
+from ..plans.checkpoint import (
+    SuperstepCache,
+    SuperstepCheckpointer,
+    aqe_suspended,
+    truncate_lineage,
+)
 
 
 @dataclass
@@ -62,15 +67,11 @@ def wcc(
     g = graph if threshold is None else graph.filter_weight(threshold)
     spark = graph.spark
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    with aqe_suspended(spark):
         return _run(
             graph, g, n_part, max_iterations, checkpointer,
             checkpoint_interval, broadcast_frontier_rows, compute_set_count,
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
 def _run(
@@ -108,9 +109,8 @@ def _run(
             start_iter = last
             metrics = checkpointer.metrics()
     cache = SuperstepCache(graph.spark)
-    cache.begin()
-    state = truncate_lineage(state.repartition(n_part, "id"))
-    cache.commit()
+    state = truncate_lineage(state.repartition(n_part, "id"))  # eager
+    cache.track(state)
     frontier = state.select(F.col("id").alias("src"), "comp")
     frontier_rows = None
 
@@ -118,7 +118,6 @@ def _run(
     while it < max_iterations:
         it += 1
         t0 = time.time()
-        cache.begin()
         f = frontier
         if frontier_rows is not None and frontier_rows <= broadcast_frontier_rows:
             f = F.broadcast(f)
@@ -140,7 +139,7 @@ def _run(
             # lazy cut; the changed-count below is the materializing job
             joined = truncate_lineage(joined, eager=False)
         changed = joined.filter(F.col("changed")).count()
-        cache.commit()  # retire the previous superstep's cached state
+        cache.track(joined)  # retire the previous superstep's cached state
         metrics.append(
             {
                 "algorithm": "wcc",

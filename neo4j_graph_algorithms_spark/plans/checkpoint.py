@@ -25,7 +25,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -44,40 +46,79 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """Id of the checkpoint RDD backing a ``localCheckpoint``-ed
+    DataFrame (its analyzed plan is a ``LogicalRDD``), else None."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            return int(plan.rdd().id())
+    except Exception:
+        return None
+    return None
+
+
+# AQE (spark.sql.adaptive.enabled) is session-global; iterative
+# operators suspend it for their superstep loops (the loops' joins are
+# exchange-free by co-partitioning, so AQE only adds replanning
+# latency).  The save/restore is guarded by a refcounted lock so
+# nested/concurrent operator runs on one session restore the ORIGINAL
+# value exactly once — never each other's intermediate state.  Note the
+# conf stays off for any query that overlaps the suspension window;
+# that is inherent to a session-global knob and documented here.
+_AQE_LOCK = threading.Lock()
+_AQE_STATE: dict[int, tuple[int, str]] = {}  # session hash -> (depth, saved)
+
+
+@contextmanager
+def aqe_suspended(spark: SparkSession, enabled: bool = False):
+    if enabled:  # caller asked to leave AQE alone
+        yield
+        return
+    key = id(spark)
+    with _AQE_LOCK:
+        depth, saved = _AQE_STATE.get(key, (0, None))
+        if depth == 0:
+            saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _AQE_STATE[key] = (depth + 1, saved)
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            depth, saved = _AQE_STATE[key]
+            if depth == 1:
+                spark.conf.set("spark.sql.adaptive.enabled", saved)
+                del _AQE_STATE[key]
+            else:
+                _AQE_STATE[key] = (depth - 1, saved)
+
+
 class SuperstepCache:
     """Retires stale per-superstep checkpoint RDDs.
 
     ``localCheckpoint`` caches its RDD and never releases it, so an
     iterative loop accumulates one ~|V|-row cached RDD per superstep;
     past ~10 supersteps the cache churn degrades superstep time 2-3x
-    (measured) and eventually forces eviction storms.  This tracker
-    diffs the SparkContext's persistent-RDD registry around each
-    materialization and unpersists the *previous* superstep's state as
-    soon as the new one is materialized — steady-state cache footprint
-    becomes O(1) supersteps instead of O(iterations).
+    (measured) and eventually forces eviction storms.  ``track(*dfs)``
+    reads the checkpoint RDD id straight off each DataFrame's
+    ``LogicalRDD`` plan and unpersists the previously tracked ids —
+    steady-state cache footprint is O(1) supersteps, and RDDs persisted
+    by concurrent jobs are never touched (no registry diffing).
+
+    Contract: call ``track`` only after the new state has been
+    materialized by an action (count/agg/save) — a locally-checkpointed
+    RDD cannot be recomputed once its predecessor is unpersisted.
     """
 
     def __init__(self, spark: SparkSession):
         self._sc = spark.sparkContext._jsc.sc()  # noqa: SLF001
         self._live: set[int] = set()
-        self._before: set[int] = set()
 
-    def _ids(self) -> set[int]:
-        it = self._sc.getPersistentRDDs().iterator()
-        out = set()
-        while it.hasNext():
-            out.add(it.next()._1())
-        return out
-
-    def begin(self) -> None:
-        """Call before creating this superstep's checkpoint."""
-        self._before = self._ids()
-
-    def commit(self) -> None:
-        """Call after the new state is materialized: the RDDs that
-        appeared since ``begin`` become the live set; the previous live
-        set is unpersisted (non-blocking)."""
-        new = self._ids() - self._before
+    def track(self, *dfs: DataFrame) -> None:
+        """Adopt the checkpoint RDDs of ``dfs`` (materialized!) as the
+        live superstep state; unpersist the previous live set."""
+        new = {rid for df in dfs if (rid := checkpoint_rdd_id(df)) is not None}
         stale = self._live - new
         if stale:
             it = self._sc.getPersistentRDDs().iterator()
@@ -86,6 +127,10 @@ class SuperstepCache:
                 if e._1() in stale:
                     e._2().unpersist(False)
         self._live = new
+
+    def release(self) -> None:
+        """Unpersist everything currently tracked."""
+        self.track()
 
 
 class SuperstepCheckpointer:

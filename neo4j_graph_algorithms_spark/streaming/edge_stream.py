@@ -61,10 +61,14 @@ def _dedup_fn(
         keep_id, seen = state.get
     else:
         keep_id, seen = None, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values("doc_id")
+    # Buffer the whole group before choosing keep_id: a group spanning
+    # multiple Arrow chunks within one micro-batch must still pick the
+    # batch-global minimum doc_id, not the first chunk's minimum.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        ids = pd.concat(chunks)["doc_id"].sort_values()
         out = []
-        for doc_id in pdf["doc_id"]:
+        for doc_id in ids:
             if keep_id is None:
                 keep_id = int(doc_id)
             seen += 1
