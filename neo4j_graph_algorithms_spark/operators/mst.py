@@ -6,9 +6,12 @@ queue has no distributed analogue, but Borůvka produces the same tree
 when edge weights are distinct (and *a* minimum spanning forest in
 general, same total weight).  Per round:
 
-  1. each component picks its lightest outgoing edge
-     (groupBy(component).min by (weight, src, dst) — deterministic
-     tie-break makes the result reproducible and cycle-safe);
+  1. each component picks its lightest outgoing edge — ties broken by
+     the GLOBAL canonical order ``(weight, min(src,dst), max(src,dst))``.
+     Under that lexicographic perturbation every edge weight is unique,
+     so the MSF itself is unique and algorithm-independent: Borůvka,
+     Kruskal, and Prim under the same order all return this exact edge
+     set (which is what makes the result oracle-checkable);
   2. chosen edges merge components via pointer-jump min-label collapse.
 
 O(log n) rounds, each a join + two aggregations — textbook
@@ -63,11 +66,21 @@ def minimum_spanning_forest(graph: Graph, max_rounds: int = 64) -> MstResult:
         )
         if ec.isEmpty():
             break
-        # lightest outgoing edge per component, deterministic tie-break
+        # lightest outgoing edge per component; ties broken by the
+        # canonical global key (weight, lo, hi) so the picked set is
+        # the unique perturbed-order MSF regardless of which side of
+        # the edge a component sees
         pick = (
             ec.groupBy("cs")
             .agg(
-                F.min(F.struct("weight", "src", "dst", "cd")).alias("m")
+                F.min_by(
+                    F.struct("src", "dst", "weight", "cd"),
+                    F.struct(
+                        F.col("weight"),
+                        F.least("src", "dst").alias("lo"),
+                        F.greatest("src", "dst").alias("hi"),
+                    ),
+                ).alias("m")
             )
             .select(
                 F.col("m.src").alias("src"),
