@@ -48,6 +48,7 @@ _PROCEDURES = [
     ("algo.shortestPaths", "algorithm", "operators.sssp.shortest_paths"),
     ("algo.shortestPaths.stream", "algorithm", "operators.sssp.shortest_paths"),
     ("algo.shortestPath", "algorithm", "operators.sssp.shortest_path"),
+    ("algo.shortestPath.stream", "algorithm", "operators.sssp.shortest_path_nodes"),
     ("algo.shortestPath.deltaStepping", "algorithm", "operators.sssp.shortest_paths"),
     ("algo.closeness", "algorithm", "operators.msbfs.closeness_centrality"),
     ("algo.closeness.stream", "algorithm", "operators.msbfs.closeness_centrality"),

@@ -3,7 +3,7 @@ from .wcc import wcc
 from .labelprop import label_propagation
 from .triangles import triangle_count, triangle_stream, clustering_coefficients
 from .louvain import louvain
-from .sssp import shortest_paths, shortest_path
+from .sssp import shortest_paths, shortest_path, shortest_path_nodes
 from .msbfs import (
     msbfs_levels,
     closeness_centrality,
@@ -24,6 +24,7 @@ __all__ = [
     "louvain",
     "shortest_paths",
     "shortest_path",
+    "shortest_path_nodes",
     "msbfs_levels",
     "closeness_centrality",
     "harmonic_centrality",

@@ -42,6 +42,7 @@ class SsspResult:
     distances: DataFrame           # (id long, distance double)
     iterations_ran: int
     metrics: list[dict] = field(default_factory=list)
+    predecessors: DataFrame | None = None   # (id long, pred long)
 
 
 def shortest_paths(
@@ -49,8 +50,18 @@ def shortest_paths(
     start_node: int,
     delta: float | None = None,
     max_iterations: int = 10_000,
+    with_predecessors: bool = False,
 ) -> SsspResult:
-    """SSSP from ``start_node`` over non-negative edge weights."""
+    """SSSP from ``start_node`` over non-negative edge weights.
+
+    ``with_predecessors=True`` adds one post-convergence pass computing
+    the **canonical** shortest-path tree: ``pred(v) = min{u :
+    dist(u) + w(u,v) == dist(v) and dist(u) < dist(v)}``.  Deriving
+    preds from the final distances (instead of recording the argmin
+    superstep-by-superstep) makes the tree deterministic and
+    independent of relaxation order — the same tree any system
+    computing the same float64 distances derives, which is what makes
+    the materialized path oracle-checkable."""
     inf = float("inf")
     edges = graph.edges.persist()
 
@@ -129,8 +140,25 @@ def shortest_paths(
             if improved == 0:
                 break
 
+    preds = None
+    if with_predecessors:
+        d_src = dist.select(F.col("id").alias("src"), F.col("distance").alias("sd"))
+        d_dst = dist.select(F.col("id").alias("dst"), F.col("distance").alias("dd"))
+        preds = (
+            edges.join(d_src, "src")
+            .join(d_dst, "dst")
+            .filter(
+                (F.col("sd") + F.col("weight") == F.col("dd"))
+                & (F.col("sd") < F.col("dd"))
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("src").alias("pred"))
+        )
+        preds = truncate_lineage(preds)
     edges.unpersist()
-    return SsspResult(distances=dist, iterations_ran=it, metrics=metrics)
+    return SsspResult(
+        distances=dist, iterations_ran=it, metrics=metrics, predecessors=preds
+    )
 
 
 def shortest_path(
@@ -141,3 +169,95 @@ def shortest_path(
     res = shortest_paths(graph, start_node, delta=delta)
     row = res.distances.filter(F.col("id") == end_node).first()
     return float(row["distance"]) if row is not None else float("inf")
+
+
+def _ancestor_chain(preds: DataFrame, end_node: int) -> DataFrame:
+    """All ancestors of ``end_node`` in the (functional) predecessor
+    graph, via pointer doubling: each round the reachable set absorbs
+    its current ancestors and the pred pointers double their jump
+    distance — O(log path-length) supersteps, never a driver-side walk
+    (the reference walks driver-side arrays,
+    ``impl/ShortestPathDijkstra.java:92-107``; a 10^9-edge graph can't)."""
+    spark = preds.sparkSession
+    reach = truncate_lineage(
+        spark.createDataFrame([(int(end_node),)], "node long")
+    )
+    hop = truncate_lineage(
+        preds.select(F.col("id").alias("node"), F.col("pred").alias("anc"))
+    )
+    cache = SuperstepCache(spark)
+    cache.track(reach, hop)
+    n = 1
+    while True:
+        grown = (
+            reach.join(hop, "node", "left")
+            .select(F.coalesce("anc", "node").alias("node"))
+            .union(reach)
+            .distinct()
+        )
+        grown = truncate_lineage(grown)
+        m = grown.count()
+        if m == n:
+            cache.track(grown)
+            reach = grown
+            break
+        n = m
+        doubled = (
+            hop.alias("a")
+            .join(
+                hop.select(
+                    F.col("node").alias("anc"), F.col("anc").alias("anc2")
+                ).alias("b"),
+                "anc",
+                "left",
+            )
+            .select("node", F.coalesce("anc2", "anc").alias("anc"))
+        )
+        hop = truncate_lineage(doubled)
+        reach = grown
+        cache.track(reach, hop)
+    return reach
+
+
+def shortest_path_nodes(
+    graph: Graph, start_node: int, end_node: int, delta: float | None = None
+) -> DataFrame:
+    """``algo.shortestPath.stream`` parity: the actual node sequence of
+    the shortest path as ``(step long, node_id long, cost double)``,
+    matching the reference's ``{nodeId, cost}`` YIELD
+    (``ShortestPathProc.java:76``, path walk-back in
+    ``impl/ShortestPathDijkstra.java:92-107``).  ``cost`` is the
+    cumulative distance from ``start_node``; ``step`` is the 0-based
+    position along the path.  Empty DataFrame when unreachable.
+
+    Requires strictly positive edge weights (the canonical-pred chain
+    steps strictly downhill in distance; a zero-weight tie would
+    truncate it — detected and raised)."""
+    spark = graph.spark
+    empty = spark.createDataFrame([], "step long, node_id long, cost double")
+    res = shortest_paths(
+        graph, start_node, delta=delta, with_predecessors=True
+    )
+    end_row = res.distances.filter(F.col("id") == end_node).first()
+    if end_row is None or end_row["distance"] == float("inf"):
+        return empty
+    chain = _ancestor_chain(res.predecessors, end_node)
+    if chain.filter(F.col("node") == start_node).isEmpty():
+        raise ValueError(
+            "predecessor chain from end_node did not reach start_node "
+            "(zero-weight edge tie?); shortest_path_nodes requires "
+            "strictly positive weights"
+        )
+    path = chain.join(
+        res.distances, chain["node"] == res.distances["id"]
+    ).select(F.col("id").alias("node_id"), F.col("distance").alias("cost"))
+    # the path is at most diameter-long — a single-partition window over
+    # it is fine at any graph scale (the *path*, not the graph, is small)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("cost")
+    return path.select(
+        (F.row_number().over(w).cast("long") - 1).alias("step"),
+        "node_id",
+        "cost",
+    )

@@ -18,6 +18,7 @@ from neo4j_graph_algorithms_spark.operators import (  # noqa: E402
     mst,
     scc,
     shortest_path,
+    shortest_path_nodes,
     shortest_paths,
 )
 
@@ -38,6 +39,26 @@ def test_louvain_two_cliques(spark):
     # abcd one community, efgh another, disjoint; z alone
     assert len({comm[i] for i in (0, 1, 2, 3)}) == 1
     assert len({comm[i] for i in (4, 5, 6, 7)}) == 1
+
+
+def test_louvain_modularity_quantitative(spark):
+    """Rows-only driver entry gets its quantitative check here: the
+    modularity of the produced partition must reach the known optimum
+    of the LouvainTest.java fixture (two 4-cliques + bridge)."""
+    g = Graph.from_edge_list(spark, LOUVAIN_EDGES, vertices=range(9)).undirected()
+    res = louvain(g, max_iterations=20)
+    comm = {r["id"]: r["community"] for r in res.communities.collect()}
+    G = nx.Graph()
+    G.add_nodes_from(range(9))
+    G.add_edges_from(LOUVAIN_EDGES)
+    groups = {}
+    for node, c in comm.items():
+        groups.setdefault(c, set()).add(node)
+    got_q = nx.algorithms.community.modularity(G, groups.values())
+    best_q = nx.algorithms.community.modularity(
+        G, [{0, 1, 2, 3}, {4, 5, 6, 7}, {8}]
+    )
+    assert got_q >= best_q - 1e-9
     assert comm[0] != comm[4]
     assert comm[8] not in (comm[0], comm[4])
 
@@ -92,6 +113,23 @@ def test_sssp_delta_stepping_deferred_bucket_not_dropped(spark):
 def test_point_to_point(spark, sssp_graph):
     assert shortest_path(sssp_graph, 0, 4) == pytest.approx(7.0)
     assert shortest_path(sssp_graph, 0, 6) == float("inf")
+
+
+def test_shortest_path_nodes_matches_dijkstra_path(spark, sssp_graph):
+    rows = shortest_path_nodes(sssp_graph, 0, 4).orderBy("step").collect()
+    got = [r["node_id"] for r in rows]
+    assert got == nx.dijkstra_path(_nx_digraph(SSSP_EDGES), 0, 4)
+    # per-node cumulative cost matches the distance map
+    want_d = nx.single_source_dijkstra_path_length(_nx_digraph(SSSP_EDGES), 0)
+    for r in rows:
+        assert r["cost"] == pytest.approx(want_d[r["node_id"]], abs=1e-9)
+    assert [r["step"] for r in rows] == list(range(len(rows)))
+
+
+def test_shortest_path_nodes_unreachable_and_trivial(spark, sssp_graph):
+    assert shortest_path_nodes(sssp_graph, 0, 6).count() == 0
+    triv = shortest_path_nodes(sssp_graph, 0, 0).collect()
+    assert [(r["step"], r["node_id"], r["cost"]) for r in triv] == [(0, 0, 0.0)]
 
 
 CENT_EDGES = [(0, 1), (1, 2), (2, 3), (1, 4)]
