@@ -51,6 +51,28 @@ class LabelPropagationResult:
     iterations_ran: int
     did_converge: bool
     metrics: list[dict] = field(default_factory=list)
+    load_millis: int = 0
+    compute_millis: int = 0
+    write_millis: int = 0
+
+    def stats(self) -> DataFrame:
+        """One-row write-mode YIELD parity —
+        ``(nodes, iterations, didConverge, loadMillis, computeMillis,
+        writeMillis)`` (``results/LabelPropagationStats.java:23-25``)."""
+        return self.labels.sparkSession.createDataFrame(
+            [
+                (
+                    self.labels.count(),
+                    self.iterations_ran,
+                    self.did_converge,
+                    self.load_millis,
+                    self.compute_millis,
+                    self.write_millis,
+                )
+            ],
+            "nodes long, iterations long, did_converge boolean, "
+            "load_millis long, compute_millis long, write_millis long",
+        )
 
 
 def label_propagation(
@@ -82,6 +104,7 @@ def _run(
     checkpointer: SuperstepCheckpointer | None,
     checkpoint_interval: int,
 ) -> LabelPropagationResult:
+    t_load0 = time.time()
     n_part = int(graph.spark.conf.get("spark.sql.shuffle.partitions", "200"))
     vertices = graph.vertices.select("id")
 
@@ -147,6 +170,8 @@ def _run(
     labels = truncate_lineage(labels.repartition(n_part, "id"))  # eager
     cache.track(labels)
 
+    load_millis = int(1000 * (time.time() - t_load0))
+    t_compute0 = time.time()
     did_converge = False
     it = start_iter
     while it < max_iterations:
@@ -194,5 +219,10 @@ def _run(
 
     votes_edges.unpersist()
     return LabelPropagationResult(
-        labels=labels, iterations_ran=it, did_converge=did_converge, metrics=metrics
+        labels=labels,
+        iterations_ran=it,
+        did_converge=did_converge,
+        metrics=metrics,
+        load_millis=load_millis,
+        compute_millis=int(1000 * (time.time() - t_compute0)),
     )

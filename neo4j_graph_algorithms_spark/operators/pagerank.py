@@ -72,6 +72,29 @@ class PageRankResult:
     iterations_ran: int
     converged: bool
     metrics: list[dict] = field(default_factory=list)
+    damping: float = 0.85
+    load_millis: int = 0
+    compute_millis: int = 0
+    write_millis: int = 0
+
+    def stats(self) -> DataFrame:
+        """One-row write-mode YIELD parity — ``(nodes, iterations,
+        dampingFactor, loadMillis, computeMillis, writeMillis)``
+        (``PageRankProc.java`` write mode / ``results/PageRankScore.Stats``)."""
+        return self.scores.sparkSession.createDataFrame(
+            [
+                (
+                    self.scores.count(),
+                    self.iterations_ran,
+                    self.damping,
+                    self.load_millis,
+                    self.compute_millis,
+                    self.write_millis,
+                )
+            ],
+            "nodes long, iterations long, damping_factor double, "
+            "load_millis long, compute_millis long, write_millis long",
+        )
 
 
 def pagerank(
@@ -136,6 +159,7 @@ def _run(
     hub_degree: int,
 ) -> PageRankResult:
     spark = graph.spark
+    t_load0 = time.time()
     d = float(damping)
     alpha = 1.0 - d
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -176,6 +200,8 @@ def _run(
     cache = SuperstepCache(spark)
     state = truncate_lineage(state.repartition(n_part, "id"))  # eager
     cache.track(state)
+    load_millis = int(1000 * (time.time() - t_load0))
+    t_compute0 = time.time()
 
     converged = False
     it = start_iter
@@ -264,4 +290,12 @@ def _run(
 
     edges.unpersist()
     scores = state.select(F.col("id"), F.col("rank").alias("score"))
-    return PageRankResult(scores=scores, iterations_ran=it, converged=converged, metrics=metrics)
+    return PageRankResult(
+        scores=scores,
+        iterations_ran=it,
+        converged=converged,
+        metrics=metrics,
+        damping=d,
+        load_millis=load_millis,
+        compute_millis=int(1000 * (time.time() - t_compute0)),
+    )

@@ -47,9 +47,39 @@ class WccResult:
     iterations_ran: int
     set_count: int | None = None
     metrics: list[dict] = field(default_factory=list)
+    load_millis: int = 0
+    compute_millis: int = 0
+    write_millis: int = 0
 
     def set_sizes(self) -> DataFrame:
         return self.components.groupBy("set_id").agg(F.count(F.lit(1)).alias("size"))
+
+    def stats(self) -> DataFrame:
+        """One-row write-mode YIELD parity —
+        ``(nodes, setCount, loadMillis, computeMillis, writeMillis)``
+        (``algo/.../results/UnionFindResult.java:26-30``), plus the
+        iteration count.  ``write_millis`` stays 0 until a write-back
+        sink stamps it."""
+        nodes = self.components.count()
+        set_count = (
+            self.set_count
+            if self.set_count is not None
+            else self.components.select("set_id").distinct().count()
+        )
+        return self.components.sparkSession.createDataFrame(
+            [
+                (
+                    nodes,
+                    set_count,
+                    self.iterations_ran,
+                    self.load_millis,
+                    self.compute_millis,
+                    self.write_millis,
+                )
+            ],
+            "nodes long, set_count long, iterations long, "
+            "load_millis long, compute_millis long, write_millis long",
+        )
 
 
 def wcc(
@@ -84,6 +114,7 @@ def _run(
     broadcast_frontier_rows: int,
     compute_set_count: bool,
 ) -> WccResult:
+    t_load0 = time.time()
     # Undirected message edges: each edge both ways, deduped; persisted
     # hash-partitioned by src so the per-superstep scatter join against
     # the id-partitioned state needs no exchange (one shuffle per
@@ -113,6 +144,8 @@ def _run(
     cache.track(state)
     frontier = state.select(F.col("id").alias("src"), "comp")
     frontier_rows = None
+    load_millis = int(1000 * (time.time() - t_load0))
+    t_compute0 = time.time()
 
     it = start_iter
     while it < max_iterations:
@@ -166,4 +199,6 @@ def _run(
         iterations_ran=it,
         set_count=set_count,
         metrics=metrics,
+        load_millis=load_millis,
+        compute_millis=int(1000 * (time.time() - t_compute0)),
     )

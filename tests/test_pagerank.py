@@ -92,3 +92,14 @@ def test_pagerank_adjacency_hub_salting(spark):
     ss = {r["id"]: r["score"] for r in salted.scores.collect()}
     for k in sp:
         assert sp[k] == pytest.approx(ss[k], abs=1e-12), k
+
+
+def test_pagerank_stats_yield_row(spark, f1_graph):
+    from neo4j_graph_algorithms_spark import pagerank
+
+    res = pagerank(f1_graph, max_iterations=2)
+    r = res.stats().collect()[0]
+    assert r["nodes"] == f1_graph.vertices.count()
+    assert r["iterations"] == 2
+    assert r["damping_factor"] == 0.85
+    assert r["compute_millis"] >= 0

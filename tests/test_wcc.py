@@ -70,3 +70,17 @@ def test_wcc_direction_irrelevant(spark, f3_graph):
     a = {r["id"]: r["set_id"] for r in wcc(f3_graph).components.collect()}
     b = {r["id"]: r["set_id"] for r in wcc(f3_graph.reverse()).components.collect()}
     assert a == b
+
+
+def test_wcc_stats_yield_row(spark, f3_graph):
+    """Write-mode YIELD parity (UnionFindResult.java:26-30): one row,
+    deterministic counters, non-negative timings."""
+    res = wcc(f3_graph, compute_set_count=True)
+    row = res.stats().collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["nodes"] == f3_graph.vertices.count()
+    assert r["set_count"] == res.set_count
+    assert r["iterations"] == res.iterations_ran
+    assert r["load_millis"] >= 0 and r["compute_millis"] >= 0
+    assert r["write_millis"] == 0
