@@ -86,11 +86,13 @@ def betweenness_centrality(
     e = e.persist()
     vertices = graph.vertices.select("id").persist()
     n = vertices.count()
-    sources = sample if sample is not None else [r["id"] for r in vertices.collect()]
+
+    from .msbfs import iter_source_batches
 
     acc = None
-    for i in range(0, len(sources), batch_size):
-        batch = sources[i : i + batch_size]
+    n_sources = 0
+    for batch in iter_source_batches(vertices, sample, batch_size):
+        n_sources += len(batch)
         levels, max_depth = _forward_levels(e, batch, spark)
         levels = levels.persist()
         delta = levels.select("source", "id", F.lit(0.0).alias("delta"))
@@ -133,10 +135,10 @@ def betweenness_centrality(
         acc = truncate_lineage(acc)
         levels.unpersist()
 
-    scale = float(n) / len(sources) if sample is not None and sources else 1.0
+    scale = float(n) / n_sources if sample is not None and n_sources else 1.0
     cent = vertices.join(acc, "id", "left").select(
         "id", (F.coalesce(F.col("c"), F.lit(0.0)) * F.lit(scale)).alias("centrality")
     )
     e.unpersist()
     vertices.unpersist()
-    return BetweennessResult(centrality=cent, sources_used=len(sources))
+    return BetweennessResult(centrality=cent, sources_used=n_sources)

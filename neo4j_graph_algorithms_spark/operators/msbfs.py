@@ -126,12 +126,35 @@ class CentralityResult:
     sources_used: int
 
 
-def _batched_depth_sums(graph: Graph, sources: list[int], harmonic: bool):
-    """Σ depth (farness) or Σ 1/depth per vertex over all sources."""
+def iter_source_batches(vertices: DataFrame, sample, batch_size: int):
+    """Yield BFS-source id batches of ``batch_size`` without ever
+    holding the full vertex set on the driver: sample mode slices the
+    given list; exact mode streams partitions via ``toLocalIterator``
+    (one partition resident at a time), so exact all-sources centrality
+    on a 10^9-vertex graph never materializes 10^9 ids driver-side."""
+    if sample is not None:
+        for i in range(0, len(sample), batch_size):
+            yield [int(s) for s in sample[i : i + batch_size]]
+        return
+    batch: list[int] = []
+    for row in vertices.select("id").toLocalIterator():
+        batch.append(int(row["id"]))
+        if len(batch) == batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def _batched_depth_sums(graph: Graph, source_batches, harmonic: bool):
+    """Σ depth (farness) or Σ 1/depth per vertex over all sources.
+    Returns ``(acc, n_sources)``; ``source_batches`` is an iterable of
+    id lists (≤ OMEGA each)."""
     spark = graph.spark
     acc = None
-    for i in range(0, len(sources), OMEGA):
-        batch = sources[i : i + OMEGA]
+    n_sources = 0
+    for batch in source_batches:
+        n_sources += len(batch)
         lv = msbfs_levels(graph, batch).filter(F.col("depth") > 0)
         contrib = lv.groupBy("id").agg(
             (
@@ -145,16 +168,18 @@ def _batched_depth_sums(graph: Graph, sources: list[int], harmonic: bool):
             .agg(F.sum("s").alias("s"), F.sum("reached").alias("reached"))
         )
         acc = truncate_lineage(acc)
-    return acc
+    return acc, n_sources
 
 
 def closeness_centrality(graph: Graph, sample: list[int] | None = None) -> CentralityResult:
     """``(n-1)/farness`` (``MSClosenessCentrality.java:87-92``); 0 when
-    farness is 0.  ``sample`` restricts BFS sources (estimator mode)."""
+    farness is 0.  ``sample`` restricts BFS sources (estimator mode);
+    exact mode streams the source set in OMEGA-sized chunks."""
     vertices = graph.vertices.select("id").persist()
     n = vertices.count()
-    sources = sample if sample is not None else [r["id"] for r in vertices.collect()]
-    acc = _batched_depth_sums(graph, sources, harmonic=False)
+    acc, n_sources = _batched_depth_sums(
+        graph, iter_source_batches(vertices, sample, OMEGA), harmonic=False
+    )
     cent = vertices.join(acc, "id", "left").select(
         "id",
         F.when(
@@ -164,15 +189,16 @@ def closeness_centrality(graph: Graph, sample: list[int] | None = None) -> Centr
         .alias("centrality"),
     )
     vertices.unpersist()
-    return CentralityResult(centrality=cent, sources_used=len(sources))
+    return CentralityResult(centrality=cent, sources_used=n_sources)
 
 
 def harmonic_centrality(graph: Graph, sample: list[int] | None = None) -> CentralityResult:
     """``Σ 1/dist / (n-1)`` (``MSHarmonicCentrality.java:59,68``)."""
     vertices = graph.vertices.select("id").persist()
     n = vertices.count()
-    sources = sample if sample is not None else [r["id"] for r in vertices.collect()]
-    acc = _batched_depth_sums(graph, sources, harmonic=True)
+    acc, n_sources = _batched_depth_sums(
+        graph, iter_source_batches(vertices, sample, OMEGA), harmonic=True
+    )
     cent = vertices.join(acc, "id", "left").select(
         "id",
         (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(float(max(n - 1, 1)))).alias(
@@ -180,7 +206,7 @@ def harmonic_centrality(graph: Graph, sample: list[int] | None = None) -> Centra
         ),
     )
     vertices.unpersist()
-    return CentralityResult(centrality=cent, sources_used=len(sources))
+    return CentralityResult(centrality=cent, sources_used=n_sources)
 
 
 def all_shortest_paths_unweighted(
@@ -188,13 +214,12 @@ def all_shortest_paths_unweighted(
 ) -> DataFrame:
     """``(source, target, distance)`` stream — MS-BFS variant of
     ``algo.allShortestPaths.stream`` (``impl/MSBFSAllShortestPaths.java``).
-    O(n²) output: pass ``sources`` to bound it at scale."""
+    O(n²) output: pass ``sources`` to bound it at scale (exact mode
+    streams the source set in OMEGA-sized chunks, never collecting all
+    vertex ids driver-side)."""
     spark = graph.spark
-    if sources is None:
-        sources = [r["id"] for r in graph.vertices.select("id").collect()]
     out = None
-    for i in range(0, len(sources), OMEGA):
-        batch = sources[i : i + OMEGA]
+    for batch in iter_source_batches(graph.vertices, sources, OMEGA):
         idx = spark.createDataFrame(
             [(j, int(s)) for j, s in enumerate(batch)], "source_idx int, source long"
         )

@@ -231,3 +231,33 @@ def test_betweenness_sampled_scales(spark):
     b = {r["id"]: r["centrality"] for r in exact.centrality.collect()}
     for v in range(5):
         assert a[v] == pytest.approx(b[v], abs=1e-9)
+
+
+def test_iter_source_batches_streams_without_collect(spark):
+    """Exact-mode source feed: 1M-vertex table, batches stream via
+    toLocalIterator — consuming the first few batches must not require
+    materializing the full id list driver-side."""
+    from neo4j_graph_algorithms_spark.operators.msbfs import iter_source_batches
+
+    big = spark.range(1_000_000).select(F.col("id"))
+    gen = iter_source_batches(big, None, 62)
+    first = next(gen)
+    second = next(gen)
+    assert len(first) == 62 and len(second) == 62
+    assert first[0] == 0 and second[0] == 62
+    # sample mode slices the provided list verbatim
+    batches = list(iter_source_batches(big, [5, 6, 7], 2))
+    assert batches == [[5, 6], [7]]
+
+
+def test_exact_mode_centrality_uses_streamed_sources(spark):
+    """closeness with sample=None must run through the streamed feed
+    and still match networkx on the fixture."""
+    g = Graph.from_edge_list(spark, CENT_EDGES, vertices=range(5)).undirected()
+    res = closeness_centrality(g, sample=None)
+    assert res.sources_used == 5
+    got = {r["id"]: r["centrality"] for r in res.centrality.collect()}
+    G = nx.Graph(CENT_EDGES)
+    want = nx.closeness_centrality(G)
+    for v in range(5):
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
