@@ -27,8 +27,10 @@ from neo4j_graph_algorithms_spark.sources.repo_source import synthetic_repo_file
 BENCH_QUERIES = [
     "pagerank_cs",
     "wcc_cop",
+    "wcc_cop_adj",          # same query, CSR adjacency layout
     "triangle_counts_cop",
     "labelprop_cop",
+    "labelprop_cop_adj",    # same query, CSR vote-block layout
     "degrees_cs",
     "dedup_exact_docs",
     "minhash_lsh_docs",

@@ -83,15 +83,23 @@ def label_propagation(
     node_weights: DataFrame | None = None,
     checkpointer: SuperstepCheckpointer | None = None,
     checkpoint_interval: int = 1,
+    storage: str = "edges",
+    hub_degree: int = 100_000,
 ) -> LabelPropagationResult:
     """``node_labels``: optional ``(id, label long)`` seed — the
     reference's ``partition`` node property; missing vertices fall back
     to their own id.  ``node_weights``: optional ``(id, node_weight
-    double)`` — the reference's ``weight`` property, default 1.0."""
+    double)`` — the reference's ``weight`` property, default 1.0.
+
+    ``storage`` picks the scatter-side layout (same contract as
+    ``pagerank``/``wcc``): ``"adjacency"`` groups the voting edges into
+    salted CSR-style blocks ``(nbr, vs array<struct<voter, vote_w>>)``
+    so the per-superstep label join touches one row per neighbor
+    vertex; blocks above ``hub_degree`` incidences are salt-split."""
     with aqe_suspended(graph.spark):
         return _run(
             graph, direction, max_iterations, node_labels, node_weights,
-            checkpointer, checkpoint_interval,
+            checkpointer, checkpoint_interval, storage, hub_degree,
         )
 
 
@@ -103,6 +111,8 @@ def _run(
     node_weights: DataFrame | None,
     checkpointer: SuperstepCheckpointer | None,
     checkpoint_interval: int,
+    storage: str,
+    hub_degree: int,
 ) -> LabelPropagationResult:
     t_load0 = time.time()
     n_part = int(graph.spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -150,12 +160,28 @@ def _run(
     # Persisted hash-partitioned by nbr: the per-superstep scatter join
     # against the id-partitioned labels is then exchange-free, leaving
     # the two-level tally aggregation as the only shuffles.
-    votes_edges = (
-        votes_edges.join(weights.withColumnRenamed("id", "nbr"), "nbr")
-        .select("voter", "nbr", (F.col("weight") * F.col("node_weight")).alias("vote_w"))
-        .repartition(n_part, "nbr")
-        .persist()
-    )
+    votes_edges = votes_edges.join(
+        weights.withColumnRenamed("id", "nbr"), "nbr"
+    ).select("voter", "nbr", (F.col("weight") * F.col("node_weight")).alias("vote_w"))
+    if storage == "adjacency":
+        # CSR-style blocks keyed by the label-carrying side: one row per
+        # (nbr, salt) holding its (voter, vote_w) incidences; blocks
+        # above hub_degree split across salted rows (same shape as
+        # Graph.adjacency, here with a payload struct per incidence)
+        deg = votes_edges.groupBy("nbr").agg(F.count(F.lit(1)).alias("degree"))
+        salted = votes_edges.join(deg, "nbr").withColumn(
+            "salt",
+            (
+                F.crc32(F.concat_ws("_", F.col("nbr"), F.col("voter")))
+                % F.greatest(F.lit(1), F.ceil(F.col("degree") / F.lit(hub_degree)))
+            ).cast("int"),
+        )
+        votes_edges = salted.groupBy("nbr", "salt").agg(
+            F.collect_list(F.struct("voter", "vote_w")).alias("vs")
+        )
+    elif storage != "edges":
+        raise ValueError(f"storage must be 'adjacency' or 'edges', got {storage!r}")
+    votes_edges = votes_edges.repartition(n_part, "nbr").persist()
     votes_edges.count()
 
     metrics: list[dict] = []
@@ -177,14 +203,22 @@ def _run(
     while it < max_iterations:
         it += 1
         t0 = time.time()
-        tallies = (
-            votes_edges.join(
-                labels.select(F.col("id").alias("nbr"), F.col("label").alias("cand")),
-                "nbr",
-            )
-            .groupBy("voter", "cand")
-            .agg(F.sum("vote_w").alias("total"))
+        lbl_nbr = labels.select(
+            F.col("id").alias("nbr"), F.col("label").alias("cand")
         )
+        if storage == "adjacency":
+            tallies = (
+                votes_edges.join(lbl_nbr, "nbr")
+                .select(F.explode("vs").alias("v"), "cand")
+                .groupBy(F.col("v.voter").alias("voter"), F.col("cand"))
+                .agg(F.sum("v.vote_w").alias("total"))
+            )
+        else:
+            tallies = (
+                votes_edges.join(lbl_nbr, "nbr")
+                .groupBy("voter", "cand")
+                .agg(F.sum("vote_w").alias("total"))
+            )
         # argmax with smallest-label tie-break: max_by over the orderable
         # struct (total, -cand) — larger total wins, then smaller label.
         best = tallies.groupBy(F.col("voter").alias("id")).agg(

@@ -90,10 +90,20 @@ def wcc(
     checkpoint_interval: int = 1,
     broadcast_frontier_rows: int = 2_000_000,
     compute_set_count: bool = False,
+    storage: str = "edges",
+    hub_degree: int = 100_000,
 ) -> WccResult:
     """Connected components; ``threshold`` keeps only edges with
     ``weight >= threshold`` first (``UnionFindProcExec`` ``"threshold"``
-    config key, ``GraphUnionFind.java:89-93``)."""
+    config key, ``GraphUnionFind.java:89-93``).
+
+    ``storage`` picks the scatter-side layout (same contract as
+    ``pagerank``; reference analogue: per-query graph-impl selection,
+    ``ProcedureConstants.java:58-60``): ``"edges"`` = flat rows,
+    ``"adjacency"`` = salted CSR-style blocks ``(src, dsts
+    array<long>)`` — one row per active vertex in the scatter join,
+    hubs above ``hub_degree`` split across salted rows.  Results are
+    identical (the gather is min over longs — exact)."""
     g = graph if threshold is None else graph.filter_weight(threshold)
     spark = graph.spark
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -101,6 +111,7 @@ def wcc(
         return _run(
             graph, g, n_part, max_iterations, checkpointer,
             checkpoint_interval, broadcast_frontier_rows, compute_set_count,
+            storage, hub_degree,
         )
 
 
@@ -113,6 +124,8 @@ def _run(
     checkpoint_interval: int,
     broadcast_frontier_rows: int,
     compute_set_count: bool,
+    storage: str,
+    hub_degree: int,
 ) -> WccResult:
     t_load0 = time.time()
     # Undirected message edges: each edge both ways, deduped; persisted
@@ -124,9 +137,16 @@ def _run(
         .union(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .repartition(n_part, "src")
-        .persist()
     )
+    if storage == "adjacency":
+        both = (
+            Graph(both, vertices=graph._vertices)
+            .adjacency(hub_degree=hub_degree, sort_neighbors=False)
+            .select("src", "dsts")
+        )
+    elif storage != "edges":
+        raise ValueError(f"storage must be 'adjacency' or 'edges', got {storage!r}")
+    both = both.repartition(n_part, "src").persist()
     both.count()
 
     # comp init = own id; all vertices start in the frontier.
@@ -154,11 +174,19 @@ def _run(
         f = frontier
         if frontier_rows is not None and frontier_rows <= broadcast_frontier_rows:
             f = F.broadcast(f)
-        cand = (
-            both.join(f, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("cand"))
-        )
+        if storage == "adjacency":
+            cand = (
+                both.join(f, "src")
+                .select(F.explode("dsts").alias("id"), "comp")
+                .groupBy("id")
+                .agg(F.min("comp").alias("cand"))
+            )
+        else:
+            cand = (
+                both.join(f, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("comp").alias("cand"))
+            )
         joined = state.join(cand, "id", "left").select(
             "id",
             F.least(F.col("comp"), F.coalesce(F.col("cand"), F.col("comp"))).alias("comp"),

@@ -84,3 +84,23 @@ def test_wcc_stats_yield_row(spark, f3_graph):
     assert r["iterations"] == res.iterations_ran
     assert r["load_millis"] >= 0 and r["compute_millis"] >= 0
     assert r["write_millis"] == 0
+
+
+def test_wcc_adjacency_storage_matches_edges(spark, f3_graph):
+    # salted CSR adjacency blocks: identical components (min over longs)
+    e = wcc(f3_graph, storage="edges")
+    a = wcc(f3_graph, storage="adjacency")
+    se = {r["id"]: r["set_id"] for r in e.components.collect()}
+    sa = {r["id"]: r["set_id"] for r in a.components.collect()}
+    assert se == sa
+    assert e.iterations_ran == a.iterations_ran
+
+
+def test_wcc_adjacency_hub_salting(spark):
+    edges = [(0, i) for i in range(1, 50)] + [(50, 51)]
+    g = Graph.from_edge_list(spark, edges, vertices=range(52))
+    e = wcc(g, storage="edges")
+    a = wcc(g, storage="adjacency", hub_degree=8)
+    se = {r["id"]: r["set_id"] for r in e.components.collect()}
+    sa = {r["id"]: r["set_id"] for r in a.components.collect()}
+    assert se == sa
