@@ -203,9 +203,12 @@ def _run(
     while it < max_iterations:
         it += 1
         t0 = time.time()
+        # SHJ hints: stream the (larger) vote-edge side unsorted against
+        # per-partition hash maps of the label/argmax sides (the SMJ
+        # fallback would re-sort the vote edges every superstep)
         lbl_nbr = labels.select(
             F.col("id").alias("nbr"), F.col("label").alias("cand")
-        )
+        ).hint("SHUFFLE_HASH")
         if storage == "adjacency":
             tallies = (
                 votes_edges.join(lbl_nbr, "nbr")
@@ -224,7 +227,7 @@ def _run(
         best = tallies.groupBy(F.col("voter").alias("id")).agg(
             F.max(F.struct(F.col("total"), (-F.col("cand")).alias("neg"))).alias("win")
         ).select("id", (-F.col("win.neg")).alias("new_label"))
-        new_labels = labels.join(best, "id", "left").select(
+        new_labels = labels.join(best.hint("SHUFFLE_HASH"), "id", "left").select(
             "id",
             F.coalesce("new_label", "label").alias("label"),
             (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),

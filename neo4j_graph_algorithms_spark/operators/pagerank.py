@@ -37,9 +37,14 @@ Scale notes (the part that must survive 10^12 edges):
 - the gather is map-side combined (partial aggregation), so hub
   in-degree skew collapses before the exchange — one partial per map
   partition, not one row per edge;
-- when the active frontier shrinks below ``broadcast_frontier_rows``
-  it is broadcast instead (north rule's "broadcast of high-degree
-  frontier") — late supersteps then read edges in place;
+- both superstep joins carry a per-plan SHUFFLE_HASH hint: without
+  stats on checkpointed state, Catalyst's fallback is sort-merge —
+  which would re-sort the FULL edge set every superstep.  SHJ streams
+  edges unsorted against a per-partition hash map of the small side.
+  ``broadcast_frontier_rows`` (opt-in, default off) switches the
+  scatter to a broadcast join below that frontier size — it saves
+  nothing over the co-partitioned SHJ (both touch every edge
+  partition) but is kept for A/B measurement;
 - per-superstep driver work is minimized: lineage is cut with a *lazy*
   localCheckpoint and both modes run exactly ONE job per superstep —
   the materializing aggregate (max-delta + active count in tolerance
@@ -104,7 +109,7 @@ def pagerank(
     tolerance: float | None = None,
     checkpointer: SuperstepCheckpointer | None = None,
     checkpoint_interval: int = 1,
-    broadcast_frontier_rows: int = 100_000,
+    broadcast_frontier_rows: int | None = None,
     collect_skew_metric: bool = False,
     adaptive: bool = False,
     storage: str = "edges",
@@ -212,8 +217,18 @@ def _run(
         frontier = state.filter(F.col("delta") != 0.0).select(
             F.col("id").alias("src"), F.col("delta")
         )
-        if active_rows is not None and active_rows <= broadcast_frontier_rows:
+        if (
+            broadcast_frontier_rows is not None
+            and active_rows is not None
+            and active_rows <= broadcast_frontier_rows
+        ):
             frontier = F.broadcast(frontier)
+        else:
+            # SHUFFLE_HASH, not the stats-blind SMJ default: edges
+            # stream UNSORTED against a per-partition frontier hash map
+            # — an SMJ here re-sorts the full edge set every superstep.
+            # Per-plan hint, so no session-conf races (ADVICE r1).
+            frontier = frontier.hint("SHUFFLE_HASH")
         if storage == "adjacency":
             msgs = (
                 edges.join(frontier, "src")
@@ -230,6 +245,7 @@ def _run(
                 .groupBy("dst")
                 .agg(F.sum(F.col("delta") / F.col("outdeg")).alias("msg"))
             )
+        msgs = msgs.hint("SHUFFLE_HASH")  # build msgs, stream state — no sorts
         new_state = (
             state.join(msgs, state["id"] == msgs["dst"], "left")
             .select(

@@ -20,8 +20,9 @@ directions until fixpoint, with a **frontier**: only vertices whose
 component id changed last superstep re-send.  Messages shrink
 geometrically; supersteps = O(diameter) on the un-doubled variant.
 The gather is ``groupBy(dst).min`` — map-side partial aggregation
-absorbs hub skew; the scatter join on the frontier is broadcast once the
-frontier is small.
+absorbs hub skew; the scatter join streams edges unsorted against a
+per-partition frontier hash map (SHUFFLE_HASH hint — the SMJ fallback
+would re-sort the edge set every superstep).
 """
 
 from __future__ import annotations
@@ -88,7 +89,7 @@ def wcc(
     max_iterations: int = 200,
     checkpointer: SuperstepCheckpointer | None = None,
     checkpoint_interval: int = 1,
-    broadcast_frontier_rows: int = 2_000_000,
+    broadcast_frontier_rows: int | None = None,
     compute_set_count: bool = False,
     storage: str = "edges",
     hub_degree: int = 100_000,
@@ -172,8 +173,16 @@ def _run(
         it += 1
         t0 = time.time()
         f = frontier
-        if frontier_rows is not None and frontier_rows <= broadcast_frontier_rows:
+        if (
+            broadcast_frontier_rows is not None
+            and frontier_rows is not None
+            and frontier_rows <= broadcast_frontier_rows
+        ):
             f = F.broadcast(f)
+        else:
+            # SHJ: stream edges unsorted, hash the frontier per
+            # partition (SMJ fallback re-sorts edges every superstep)
+            f = f.hint("SHUFFLE_HASH")
         if storage == "adjacency":
             cand = (
                 both.join(f, "src")
@@ -187,7 +196,7 @@ def _run(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("comp").alias("cand"))
             )
-        joined = state.join(cand, "id", "left").select(
+        joined = state.join(cand.hint("SHUFFLE_HASH"), "id", "left").select(
             "id",
             F.least(F.col("comp"), F.coalesce(F.col("cand"), F.col("comp"))).alias("comp"),
             (F.coalesce(F.col("cand"), F.col("comp")) < F.col("comp")).alias("changed"),
