@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real — schemas, Arrow batch iteration,
-partition-size control — while the actual codec work is stubbed behind
-``DecoderRegistry`` (the image/audio libraries are not in this
-container).  The stub decoders are *deterministic fakes* keyed on the
-content bytes, so tests exercise the full distributed path (schema
-evolution, batch shapes, metadata propagation) with reproducible
-outputs; swap a real decoder in via ``register_decoder``.
+Decoders are REAL for the formats a pure-stdlib/numpy environment can
+parse — uncompressed 24-bit BMP and binary PPM (P6) images, PCM WAV
+audio — so the distributed path (mapInPandas batch iteration, schema,
+partition sizing) is exercised with true decode → feature-extract →
+resize work, not fakes.  Compressed codecs (JPEG/PNG/MP3/video) need
+external libraries that are not in this container: ``video`` raises
+``NotImplementedError`` until one is registered via
+``register_decoder`` (e.g. PIL/ffmpeg-backed), and unrecognized bytes
+surface as ``decode_ok = false`` rows, never fabricated features.
 
 Layout guidance baked in: media rows are large, so ``mapInPandas`` is
 used (streaming per-batch iterator — bounded memory) rather than
@@ -16,9 +18,13 @@ used (streaming per-batch iterator — bounded memory) rather than
 
 from __future__ import annotations
 
-import hashlib
+import io
+import math
+import struct
+import wave
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,24 +38,107 @@ FEATURE_SCHEMA = (
     "media_id long, kind string, feature array<float>, frames int, decode_ok boolean"
 )
 
-
-def _fake_image_decode(data: bytes) -> dict:
-    """Deterministic stand-in for a real image decoder.
-
-    REAL DECODER GOES HERE (PIL/opencv): raise if unavailable so the
-    stub is never mistaken for real output in production paths.
-    """
-    h = hashlib.sha256(data or b"").digest()
-    return {
-        "feature": [b / 255.0 for b in h[:16]],
-        "frames": 1,
-        "decode_ok": True,
-    }
+#: image feature = 4×4 grayscale thumbnail (16) + per-channel means (3)
+IMAGE_FEATURE_DIM = 19
+#: audio feature = RMS energy over 16 equal windows
+AUDIO_FEATURE_DIM = 16
 
 
-def _fake_audio_decode(data: bytes) -> dict:
-    h = hashlib.sha256(b"audio:" + (data or b"")).digest()
-    return {"feature": [b / 255.0 for b in h[:16]], "frames": len(data or b"") // 1024 + 1, "decode_ok": True}
+# --------------------------------------------------------------------- #
+# real decoders (pure stdlib + numpy)
+# --------------------------------------------------------------------- #
+def _resize_gray(gray: np.ndarray, out_h: int = 4, out_w: int = 4) -> np.ndarray:
+    """Block-mean resize (area interpolation) — the 'resize' step of the
+    pipeline, exact and deterministic."""
+    return np.array(
+        [
+            [blk.mean() for blk in np.array_split(band, out_w, axis=1)]
+            for band in np.array_split(gray, out_h, axis=0)
+        ]
+    )
+
+
+def _pixels_to_feature(rgb: np.ndarray) -> list[float]:
+    gray = rgb.mean(axis=2)
+    thumb = _resize_gray(gray) / 255.0
+    chans = rgb.reshape(-1, 3).mean(axis=0) / 255.0
+    return [float(x) for x in thumb.flatten()] + [float(c) for c in chans]
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit bottom-up BMP → (h, w, 3) RGB array."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    w = struct.unpack_from("<i", data, 18)[0]
+    h = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    row = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, dtype=np.uint8, count=row * abs(h), offset=off)
+    arr = arr.reshape(abs(h), row)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        arr = arr[::-1]                       # bottom-up storage
+    return arr[:, :, ::-1]                    # BGR → RGB
+
+
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) → (h, w, 3) RGB array."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header: P6 <w> <h> <maxval> then a single whitespace before pixels
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":           # comment line
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        fields.append(int(data[i:j]))
+        i = j
+    i += 1                                    # the single separator byte
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 PPM supported")
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+
+
+def _image_decode(data: bytes) -> dict:
+    if data[:2] == b"BM":
+        rgb = _decode_bmp(data)
+    elif data[:2] == b"P6":
+        rgb = _decode_ppm(data)
+    else:
+        raise ValueError("unrecognized image format (BMP/P6-PPM supported)")
+    return {"feature": _pixels_to_feature(rgb), "frames": 1, "decode_ok": True}
+
+
+def _audio_decode(data: bytes) -> dict:
+    """PCM WAV via stdlib ``wave``: mono-mixed, 16 RMS-energy windows."""
+    with wave.open(io.BytesIO(data)) as wv:
+        n, ch, sw = wv.getnframes(), wv.getnchannels(), wv.getsampwidth()
+        raw = wv.readframes(n)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    k = max(1, math.ceil(len(x) / AUDIO_FEATURE_DIM))
+    rms = []
+    for i in range(AUDIO_FEATURE_DIM):
+        win = x[i * k : (i + 1) * k]
+        rms.append(float(np.sqrt((win ** 2).mean())) if win.size else 0.0)
+    return {"feature": rms, "frames": n, "decode_ok": True}
 
 
 def _unavailable(kind: str) -> Callable[[bytes], dict]:
@@ -63,8 +152,8 @@ def _unavailable(kind: str) -> Callable[[bytes], dict]:
 
 
 DECODERS: dict[str, Callable[[bytes], dict]] = {
-    "image": _fake_image_decode,
-    "audio": _fake_audio_decode,
+    "image": _image_decode,
+    "audio": _audio_decode,
     "video": _unavailable("video"),
 }
 
@@ -73,23 +162,83 @@ def register_decoder(kind: str, fn: Callable[[bytes], dict]) -> None:
     DECODERS[kind] = fn
 
 
+# --------------------------------------------------------------------- #
+# deterministic synthetic media (REAL encoded payloads)
+# --------------------------------------------------------------------- #
+def make_bmp(seed: int, w: int = 16, h: int = 16) -> bytes:
+    """24-bit BMP with a seed-dependent deterministic gradient."""
+    row = (w * 3 + 3) & ~3
+    px = bytearray()
+    for y in range(h - 1, -1, -1):            # bottom-up
+        line = bytearray()
+        for x in range(w):
+            r = (seed * 37 + x * 11 + y * 7) % 256
+            g = (seed * 57 + x * 5 + y * 13) % 256
+            b = (seed * 97 + x * 3 + y * 17) % 256
+            line += bytes((b, g, r))          # BGR on disk
+        line += b"\x00" * (row - len(line))
+        px += line
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    return bytes(header + info + px)
+
+
+def make_wav(seed: int, sample_rate: int = 8000, ms: int = 125) -> bytes:
+    """Mono 16-bit PCM WAV: seed-dependent sine tone."""
+    n = sample_rate * ms // 1000
+    freq = 200 + (seed % 20) * 50
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(20000 * math.sin(2 * math.pi * freq * i / sample_rate))
+            )
+            for i in range(n)
+        )
+        wv.writeframes(frames)
+    return buf.getvalue()
+
+
 def synthetic_media(spark, n: int = 200, num_partitions: int = 8) -> DataFrame:
-    """Deterministic fake media table with the standard schema."""
-    df = spark.range(0, n, 1, num_partitions)
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio")), (F.col("id") % 2 + 1).cast("int")
-    )
-    payload = F.sha2(F.concat(F.lit("media"), F.col("id")), 512).cast("binary")
-    return df.select(
-        F.col("id").alias("media_id"),
-        kind.alias("kind"),
-        payload.alias("media"),
-        F.when(F.col("id") % 2 == 0, F.lit("image/png")).otherwise(F.lit("audio/wav")).alias("mime"),
-        F.when(F.col("id") % 2 == 0, F.lit(64)).otherwise(F.lit(None)).cast("int").alias("width"),
-        F.when(F.col("id") % 2 == 0, F.lit(64)).otherwise(F.lit(None)).cast("int").alias("height"),
-        F.when(F.col("id") % 2 == 1, (F.col("id") * 10 + 1000)).otherwise(F.lit(None)).cast("long").alias("duration_ms"),
-        F.when(F.col("id") % 2 == 1, F.lit(16000)).otherwise(F.lit(None)).cast("int").alias("sample_rate"),
-    )
+    """Deterministic media table with REAL encoded payloads: even ids
+    are 16×16 BMP images, odd ids are 125 ms PCM WAV clips — so the
+    full pipeline exercises true decoding, not fakes."""
+    base = spark.range(0, n, 1, num_partitions)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    rows.append(
+                        (mid, "image", make_bmp(mid), "image/bmp", 16, 16, None, None)
+                    )
+                else:
+                    rows.append(
+                        (
+                            mid,
+                            "audio",
+                            make_wav(mid),
+                            "audio/wav",
+                            None,
+                            None,
+                            125,
+                            8000,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "media", "mime",
+                    "width", "height", "duration_ms", "sample_rate",
+                ],
+            )
+
+    return base.mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
 def extract_features(
@@ -98,7 +247,9 @@ def extract_features(
 ) -> DataFrame:
     """Decode/feature-extract via ``mapInPandas`` — batch iterator in,
     batch iterator out, so a partition of large blobs never needs to be
-    resident at once."""
+    resident at once.  Decode failures (unknown format, truncated
+    bytes, missing codec) surface as ``decode_ok = false`` with a null
+    feature — never fabricated values."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,7 +264,7 @@ def extract_features(
                     feats.append(out["feature"])
                     frames.append(out["frames"])
                     oks.append(out["decode_ok"])
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, EOFError, wave.Error):
                     feats.append(None)
                     frames.append(0)
                     oks.append(False)
@@ -135,9 +286,10 @@ def extract_features(
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plan: one output row per sampled timestamp.
-    The decode itself is stubbed (no codec in-container) but the
-    explode/partition shape — the scale-relevant part — is real."""
+    """Video/audio frame-sampling plan: one output row per sampled
+    timestamp.  The explode/partition shape — the scale-relevant part —
+    is plain DataFrame ops; pair with a registered frame decoder to
+    materialize pixels."""
     ts = F.sequence(
         F.lit(0),
         F.coalesce(F.col("duration_ms"), F.lit(0)).cast("long"),

@@ -1,17 +1,80 @@
-"""Multimodal plumbing: schema, mapInPandas batch shape, stub decoders."""
+"""Multimodal path: REAL BMP/PPM/WAV decoding through mapInPandas,
+schema, failure semantics, decoder registry."""
+
+import math
+import struct
 
 import pytest
 
 from neo4j_graph_algorithms_spark.sources import multimodal as mm
 
 
-def test_extract_features_stub_deterministic(spark):
+def test_extract_features_real_decode_deterministic(spark):
     media = mm.synthetic_media(spark, n=50)
-    a = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+    a = {r["media_id"]: r for r in mm.extract_features(media).collect()}
     b = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
-    assert a == b
+    assert {k: v["feature"] for k, v in a.items()} == b
     assert len(a) == 50
-    assert all(len(v) == 16 for v in a.values())
+    for mid, r in a.items():
+        assert r["decode_ok"], mid
+        want = mm.IMAGE_FEATURE_DIM if mid % 2 == 0 else mm.AUDIO_FEATURE_DIM
+        assert len(r["feature"]) == want, mid
+
+
+def test_bmp_decode_exact_values():
+    # constant-color image → thumbnail is exactly that gray everywhere
+    w = h = 8
+    row = (w * 3 + 3) & ~3
+    px = (bytes((30, 20, 10)) * w + b"\x00" * (row - 3 * w)) * h  # BGR
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0)
+    out = mm._image_decode(bytes(header + info) + px)
+    gray = (10 + 20 + 30) / 3 / 255.0
+    thumb, chans = out["feature"][:16], out["feature"][16:]
+    assert all(x == pytest.approx(gray) for x in thumb)
+    assert chans == pytest.approx([10 / 255, 20 / 255, 30 / 255])
+
+
+def test_ppm_decode_matches_bmp_pixels():
+    # same pixels via P6 → identical feature vector
+    w = h = 4
+    rgb = bytes((10, 20, 30)) * (w * h)
+    ppm = b"P6\n# c\n4 4\n255\n" + rgb
+    out = mm._image_decode(ppm)
+    assert out["decode_ok"] and len(out["feature"]) == mm.IMAGE_FEATURE_DIM
+    assert out["feature"][16:] == pytest.approx([10 / 255, 20 / 255, 30 / 255])
+
+
+def test_wav_decode_rms_of_sine():
+    data = mm.make_wav(seed=0, sample_rate=8000, ms=125)
+    out = mm._audio_decode(data)
+    assert out["decode_ok"] and out["frames"] == 1000
+    # RMS of a full-window sine ≈ amplitude/sqrt(2)
+    amp = 20000 / 32768.0
+    for v in out["feature"]:
+        assert v == pytest.approx(amp / math.sqrt(2), rel=0.05)
+
+
+def test_garbage_bytes_mark_decode_failed(spark):
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "kind": ["image", "audio"],
+                "media": [b"\x00garbage", b"also-not-a-wav"],
+                "mime": ["image/bmp", "audio/wav"],
+                "width": [None, None],
+                "height": [None, None],
+                "duration_ms": [None, None],
+                "sample_rate": [None, None],
+            }
+        ),
+        schema=mm.MEDIA_SCHEMA,
+    )
+    out = mm.extract_features(media).collect()
+    assert all((not r["decode_ok"]) and r["feature"] is None for r in out)
 
 
 def test_video_decoder_unavailable_marks_failed(spark):
@@ -23,9 +86,9 @@ def test_video_decoder_unavailable_marks_failed(spark):
 
 def test_frame_sample_plan(spark):
     media = mm.synthetic_media(spark, n=10)
-    frames = mm.frame_sample(media, every_ms=500)
+    frames = mm.frame_sample(media, every_ms=25)
     rows = frames.collect()
-    assert all(r["frame_ts_ms"] % 500 == 0 for r in rows)
+    assert all(r["frame_ts_ms"] % 25 == 0 for r in rows)
     # only audio rows (odd ids) carry duration in the synthetic table
     assert {r["media_id"] % 2 for r in rows} == {1}
 
