@@ -84,7 +84,9 @@ def louvain(
         # w_into_c per (node, neighbor community)
         w_into = (
             edges.join(
-                comm.select(F.col("id").alias("dst"), F.col("community").alias("tc")),
+                comm.select(
+                    F.col("id").alias("dst"), F.col("community").alias("tc")
+                ).hint("SHUFFLE_HASH"),
                 "dst",
             )
             .groupBy(F.col("src").alias("id"), F.col("tc"))
@@ -113,7 +115,7 @@ def louvain(
         eligible = (F.hash(F.col("id"), F.lit(it)) % 2) == 0
         wants = best["best_comm"].isNotNull() & (best["best_comm"] != F.col("community"))
         moved = (
-            comm.join(best, "id", "left")
+            comm.join(best.hint("SHUFFLE_HASH"), "id", "left")
             .select(
                 "id",
                 F.when(wants & eligible, F.col("best_comm"))

@@ -71,7 +71,7 @@ def msbfs_levels(
         if max_depth is not None and depth > max_depth:
             break
         nxt = (
-            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            e.join(frontier.withColumnRenamed("id", "src").hint("SHUFFLE_HASH"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.bit_or("mask").alias("new_mask"))
         )

@@ -60,8 +60,8 @@ def minimum_spanning_forest(graph: Graph, max_rounds: int = 64) -> MstResult:
     while rounds < max_rounds:
         rounds += 1
         ec = (
-            und.join(comp.select(F.col("id").alias("src"), F.col("comp").alias("cs")), "src")
-            .join(comp.select(F.col("id").alias("dst"), F.col("comp").alias("cd")), "dst")
+            und.join(comp.select(F.col("id").alias("src"), F.col("comp").alias("cs")).hint("SHUFFLE_HASH"), "src")
+            .join(comp.select(F.col("id").alias("dst"), F.col("comp").alias("cd")).hint("SHUFFLE_HASH"), "dst")
             .filter(F.col("cs") != F.col("cd"))
         )
         if ec.isEmpty():

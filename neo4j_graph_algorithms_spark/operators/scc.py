@@ -52,7 +52,9 @@ def _propagate_max(edges: DataFrame, init: DataFrame, along_src_to_dst: bool) ->
         if along_src_to_dst:
             msgs = (
                 edges.join(
-                    state.select(F.col("id").alias("src"), F.col("color").alias("c")),
+                    state.select(
+                        F.col("id").alias("src"), F.col("color").alias("c")
+                    ).hint("SHUFFLE_HASH"),
                     "src",
                 )
                 .groupBy(F.col("dst").alias("id"))
@@ -61,13 +63,15 @@ def _propagate_max(edges: DataFrame, init: DataFrame, along_src_to_dst: bool) ->
         else:
             msgs = (
                 edges.join(
-                    state.select(F.col("id").alias("dst"), F.col("color").alias("c")),
+                    state.select(
+                        F.col("id").alias("dst"), F.col("color").alias("c")
+                    ).hint("SHUFFLE_HASH"),
                     "dst",
                 )
                 .groupBy(F.col("src").alias("id"))
                 .agg(F.max("c").alias("cand"))
             )
-        nxt = state.join(msgs, "id", "left").select(
+        nxt = state.join(msgs.hint("SHUFFLE_HASH"), "id", "left").select(
             "id",
             F.greatest(F.col("color"), F.coalesce(F.col("cand"), F.col("color"))).alias(
                 "color"

@@ -94,11 +94,11 @@ def shortest_paths(
             deferred = f.filter(F.col("d") >= F.lit(bucket_end))
             f = f.filter(F.col("d") < F.lit(bucket_end))
         relax = (
-            edges.join(f, "src")
+            edges.join(f.hint("SHUFFLE_HASH"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min(F.col("d") + F.col("weight")).alias("nd"))
         )
-        joined = dist.join(relax, "id", "left").select(
+        joined = dist.join(relax.hint("SHUFFLE_HASH"), "id", "left").select(
             "id",
             F.least(F.col("distance"), F.coalesce(F.col("nd"), F.col("distance"))).alias(
                 "distance"
