@@ -36,13 +36,26 @@ _PROCEDURES = [
     # (name, kind, module.callable)
     ("algo.pageRank", "algorithm", "operators.pagerank.pagerank"),
     ("algo.pageRank.stream", "algorithm", "operators.pagerank.pagerank"),
+    # the reference's unionFind parallel variants (queue / forkJoin /
+    # forkJoinMerge, UnionFindProc2/3/4.java) differ only in thread
+    # scheduling and produce the same partition — here scheduling is
+    # Spark's, so every alias resolves to the one min-label operator
     ("algo.unionFind", "algorithm", "operators.wcc.wcc"),
     ("algo.unionFind.stream", "algorithm", "operators.wcc.wcc"),
+    ("algo.unionFind.queue", "algorithm", "operators.wcc.wcc"),
+    ("algo.unionFind.queue.stream", "algorithm", "operators.wcc.wcc"),
+    ("algo.unionFind.forkJoin", "algorithm", "operators.wcc.wcc"),
+    ("algo.unionFind.forkJoin.stream", "algorithm", "operators.wcc.wcc"),
+    ("algo.unionFind.forkJoinMerge", "algorithm", "operators.wcc.wcc"),
+    ("algo.unionFind.forkJoinMerge.stream", "algorithm", "operators.wcc.wcc"),
     ("algo.unionFind.mscoloring", "algorithm", "operators.wcc.wcc"),
+    ("algo.unionFind.mscoloring.stream", "algorithm", "operators.wcc.wcc"),
     ("algo.labelPropagation", "algorithm", "operators.labelprop.label_propagation"),
     ("algo.triangle.stream", "algorithm", "operators.triangles.triangle_stream"),
     ("algo.triangleCount", "algorithm", "operators.triangles.triangle_count"),
     ("algo.triangleCount.stream", "algorithm", "operators.triangles.triangle_count"),
+    ("algo.triangleCount.forkJoin", "algorithm", "operators.triangles.triangle_count"),
+    ("algo.triangleCount.forkJoin.stream", "algorithm", "operators.triangles.triangle_count"),
     ("algo.louvain", "algorithm", "operators.louvain.louvain"),
     ("algo.louvain.stream", "algorithm", "operators.louvain.louvain"),
     ("algo.shortestPaths", "algorithm", "operators.sssp.shortest_paths"),
@@ -50,18 +63,31 @@ _PROCEDURES = [
     ("algo.shortestPath", "algorithm", "operators.sssp.shortest_path"),
     ("algo.shortestPath.stream", "algorithm", "operators.sssp.shortest_path_nodes"),
     ("algo.shortestPath.deltaStepping", "algorithm", "operators.sssp.shortest_paths"),
+    ("algo.shortestPath.deltaStepping.stream", "algorithm", "operators.sssp.shortest_paths"),
     ("algo.closeness", "algorithm", "operators.msbfs.closeness_centrality"),
     ("algo.closeness.stream", "algorithm", "operators.msbfs.closeness_centrality"),
     ("algo.harmonic", "algorithm", "operators.msbfs.harmonic_centrality"),
     ("algo.harmonic.stream", "algorithm", "operators.msbfs.harmonic_centrality"),
     ("algo.allShortestPaths.stream", "algorithm", "operators.msbfs.all_shortest_paths_unweighted"),
+    # the reference's SCC family (Tarjan / tunedTarjan / iterative /
+    # multistep / forwardBackward) computes the identical component
+    # partition via different sequential/parallel schedules; the
+    # DataFrame engine has one FW-BW coloring implementation
     ("algo.scc", "algorithm", "operators.scc.scc"),
     ("algo.scc.stream", "algorithm", "operators.scc.scc"),
+    ("algo.scc.recursive.tarjan", "algorithm", "operators.scc.scc"),
+    ("algo.scc.recursive.tunedTarjan", "algorithm", "operators.scc.scc"),
+    ("algo.scc.recursive.tunedTarjan.stream", "algorithm", "operators.scc.scc"),
+    ("algo.scc.iterative", "algorithm", "operators.scc.scc"),
+    ("algo.scc.iterative.stream", "algorithm", "operators.scc.scc"),
     ("algo.scc.multistep", "algorithm", "operators.scc.scc"),
+    ("algo.scc.multistep.stream", "algorithm", "operators.scc.scc"),
+    ("algo.scc.forwardBackward.stream", "algorithm", "operators.scc.scc"),
     ("algo.mst", "algorithm", "operators.mst.mst"),
     ("algo.betweenness", "algorithm", "operators.betweenness.betweenness_centrality"),
     ("algo.betweenness.stream", "algorithm", "operators.betweenness.betweenness_centrality"),
     ("algo.betweenness.sampled", "algorithm", "operators.betweenness.betweenness_centrality"),
+    ("algo.betweenness.sampled.stream", "algorithm", "operators.betweenness.betweenness_centrality"),
     ("algo.isFinite", "function", "functions.is_finite"),
     ("algo.isInfinite", "function", "functions.is_infinite"),
     ("algo.Infinity", "function", "functions.infinity"),
