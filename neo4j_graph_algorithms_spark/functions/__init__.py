@@ -88,6 +88,8 @@ _PROCEDURES = [
     ("algo.betweenness.stream", "algorithm", "operators.betweenness.betweenness_centrality"),
     ("algo.betweenness.sampled", "algorithm", "operators.betweenness.betweenness_centrality"),
     ("algo.betweenness.sampled.stream", "algorithm", "operators.betweenness.betweenness_centrality"),
+    # beyond-reference pipeline operator (GDS-era nodeSimilarity shape)
+    ("algo.nodeSimilarity", "algorithm", "operators.linkpred.neighbor_similarity"),
     ("algo.isFinite", "function", "functions.is_finite"),
     ("algo.isInfinite", "function", "functions.is_infinite"),
     ("algo.Infinity", "function", "functions.infinity"),

@@ -13,6 +13,7 @@ from .msbfs import (
 from .scc import scc
 from .mst import mst, minimum_spanning_forest
 from .betweenness import betweenness_centrality
+from .linkpred import neighbor_similarity
 
 __all__ = [
     "pagerank",
@@ -33,4 +34,5 @@ __all__ = [
     "mst",
     "minimum_spanning_forest",
     "betweenness_centrality",
+    "neighbor_similarity",
 ]

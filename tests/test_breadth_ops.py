@@ -261,3 +261,48 @@ def test_exact_mode_centrality_uses_streamed_sources(spark):
     want = nx.closeness_centrality(G)
     for v in range(5):
         assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+LP_SIM_EDGES = [(0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4), (5, 6)]
+
+
+def test_neighbor_similarity_matches_networkx(spark):
+    from neo4j_graph_algorithms_spark.operators import neighbor_similarity
+
+    g = Graph.from_edge_list(spark, LP_SIM_EDGES, vertices=range(7))
+    G = nx.Graph(LP_SIM_EDGES)
+    got_j = {(r["id_a"], r["id_b"]): (r["common"], r["score"])
+             for r in neighbor_similarity(g, "jaccard").collect()}
+    got_aa = {(r["id_a"], r["id_b"]): r["score"]
+              for r in neighbor_similarity(g, "adamic_adar").collect()}
+    # pairs emitted = pairs sharing >= 1 neighbor
+    import itertools
+    expect_pairs = {
+        (a, b) for a, b in itertools.combinations(range(7), 2)
+        if set(G[a]) & set(G[b])
+    }
+    assert set(got_j) == expect_pairs
+    for (a, b), (common, score) in got_j.items():
+        inter = set(G[a]) & set(G[b])
+        union = set(G[a]) | set(G[b])
+        assert common == len(inter), (a, b)
+        assert score == pytest.approx(len(inter) / len(union), abs=1e-6), (a, b)
+    for (a, b), score in got_aa.items():
+        _, _, want = next(iter(nx.adamic_adar_index(G, [(a, b)])))
+        assert score == pytest.approx(want, abs=1e-6), (a, b)
+
+
+def test_neighbor_similarity_overlap_and_hub_pruning(spark):
+    from neo4j_graph_algorithms_spark.operators import neighbor_similarity
+
+    # star: hub 0 connects 1..5; plus 1-2 edge
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    g = Graph.from_edge_list(spark, edges, vertices=range(6))
+    full = {(r["id_a"], r["id_b"]): r["common"]
+            for r in neighbor_similarity(g, "overlap").collect()}
+    assert full[(1, 2)] == 1          # via hub 0 only
+    # pruning the hub removes its wedges: only 1-2's other wedges remain
+    pruned = {(r["id_a"], r["id_b"]): r["common"]
+              for r in neighbor_similarity(g, "overlap", max_neighbor_degree=4).collect()}
+    assert (1, 2) not in pruned       # hub was the only shared neighbor
+    assert (0, 1) in pruned and pruned[(0, 1)] == 1   # shared neighbor 2 (deg 2)
