@@ -76,3 +76,47 @@ def load_graph(
     elif direction == BOTH:
         g = g.undirected(dedup=undirected_dedup)
     return g
+
+
+def read_edges(
+    spark,
+    path: str,
+    fmt: str | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    **options,
+) -> DataFrame:
+    """Read an edge table from any Spark-supported format into the
+    canonical ``(src, dst[, weight])`` shape.
+
+    ``fmt`` in {parquet, orc, csv, json, text}; inferred from the path
+    suffix when omitted.  ``text`` parses whitespace-separated
+    ``src dst [weight]`` edge-list lines ('#' comments skipped) — the
+    SNAP/webgraph interchange format — entirely with JVM expressions.
+    CSV defaults to header=true with schema inference unless options
+    override.  Everything else is a plain ``spark.read``: column
+    pruning and predicate pushdown stay with the source."""
+    if fmt is None:
+        suffix = path.rstrip("/").rsplit(".", 1)[-1].lower()
+        fmt = suffix if suffix in {"parquet", "orc", "csv", "json", "txt", "text", "tsv"} else "parquet"
+    fmt = {"txt": "text", "tsv": "csv"}.get(fmt, fmt)
+    if fmt == "text":
+        lines = spark.read.text(path)
+        toks = F.split(F.trim(F.col("value")), r"\s+")
+        parsed = (
+            lines.filter(~F.col("value").rlike(r"^\s*(#|$)"))
+            .select(
+                toks.getItem(0).cast("long").alias("src"),
+                toks.getItem(1).cast("long").alias("dst"),
+                toks.getItem(2).cast("double").alias("weight"),
+            )
+        )
+        return parsed if weight is not None else parsed.select("src", "dst")
+    if fmt == "csv":
+        options = {"header": "true", "inferSchema": "true", **options}
+    df = spark.read.format(fmt).options(**options).load(path)
+    sel = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight is not None and weight in df.columns:
+        sel.append(F.col(weight).cast("double").alias("weight"))
+    return df.select(*sel)

@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): random small graphs, engine vs
+networkx — the distributed analogue of the reference's
+RandomGraphTestCase.  Few, fat examples: each example pays a Spark
+superstep loop, so the strategy space is kept tight while still
+covering disconnected graphs, self-loop-free multigraphs, stars,
+chains, and cliques the named fixtures would miss.
+"""
+
+import pytest
+
+networkx = pytest.importorskip("networkx")
+hypothesis = pytest.importorskip("hypothesis")
+
+import networkx as nx  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from neo4j_graph_algorithms_spark import Graph, pagerank, wcc  # noqa: E402
+from neo4j_graph_algorithms_spark.operators import shortest_paths  # noqa: E402
+
+N_VERTS = 12
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=N_VERTS - 1),
+        st.integers(min_value=0, max_value=N_VERTS - 1),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=24,
+    unique=True,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(edges=edge_strategy)
+@SETTINGS
+def test_wcc_partition_matches_networkx(spark, edges):
+    g = Graph.from_edge_list(spark, edges, vertices=range(N_VERTS))
+    comp = {r["id"]: r["set_id"] for r in wcc(g).components.collect()}
+    G = nx.Graph()
+    G.add_nodes_from(range(N_VERTS))
+    G.add_edges_from(edges)
+    for cc in nx.connected_components(G):
+        ids = {comp[v] for v in cc}
+        assert len(ids) == 1, (edges, cc)
+        assert ids == {min(cc)}, (edges, cc)  # set id = min member
+
+
+@given(edges=edge_strategy)
+@SETTINGS
+def test_pagerank_matches_reference_formula(spark, edges):
+    """Engine vs a direct python evaluation of the reference's
+    non-normalized delta-push recurrence (same float64 ops)."""
+    g = Graph.from_edge_list(spark, edges, vertices=range(N_VERTS))
+    iters = 5
+    got = {
+        r["id"]: r["score"]
+        for r in pagerank(g, max_iterations=iters).scores.collect()
+    }
+    out = {v: [] for v in range(N_VERTS)}
+    for s, t in edges:
+        out[s].append(t)
+    rank = {v: 0.15 for v in range(N_VERTS)}
+    delta = dict(rank)
+    for _ in range(iters):
+        recv = {v: 0.0 for v in range(N_VERTS)}
+        for s in range(N_VERTS):
+            if delta[s] != 0.0 and out[s]:
+                c = delta[s] / len(out[s])
+                for t in out[s]:
+                    recv[t] += c
+        for v in range(N_VERTS):
+            inc = 0.85 * recv[v]
+            rank[v] += inc
+            delta[v] = inc
+    for v in range(N_VERTS):
+        assert got[v] == pytest.approx(rank[v], abs=1e-9), (edges, v)
+
+
+@given(edges=edge_strategy, data=st.data())
+@SETTINGS
+def test_sssp_matches_dijkstra_random(spark, edges, data):
+    weights = data.draw(
+        st.lists(
+            st.integers(min_value=1, max_value=9),
+            min_size=len(edges),
+            max_size=len(edges),
+        )
+    )
+    wedges = [(s, t, float(w)) for (s, t), w in zip(edges, weights)]
+    g = Graph.from_edge_list(spark, wedges, vertices=range(N_VERTS))
+    got = {
+        r["id"]: r["distance"]
+        for r in shortest_paths(g, 0).distances.collect()
+    }
+    G = nx.DiGraph()
+    G.add_nodes_from(range(N_VERTS))
+    for s, t, w in wedges:
+        # parallel edges collapse to min weight, like the engine's relax
+        if G.has_edge(s, t):
+            G[s][t]["weight"] = min(G[s][t]["weight"], w)
+        else:
+            G.add_edge(s, t, weight=w)
+    want = nx.single_source_dijkstra_path_length(G, 0)
+    for v in range(N_VERTS):
+        if v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), (wedges, v)
+        else:
+            assert got[v] == float("inf"), (wedges, v)

@@ -129,3 +129,27 @@ def test_writeback_node_property(spark, tmp_path):
     write_node_property(vertices, result, "partition", p, default=-1)
     back = {r["id"]: r["partition"] for r in spark.read.parquet(p).collect()}
     assert back == {1: 0.5, 2: 0.7, 3: -1.0}
+
+
+def test_read_edges_formats(spark, tmp_path):
+    from neo4j_graph_algorithms_spark.sources.loader import read_edges
+
+    # SNAP-style text edge list with comments and weights
+    p = tmp_path / "edges.txt"
+    p.write_text("# comment\n0 1 2.5\n1 2 1.0\n\n2 0 3.0\n")
+    got = sorted(tuple(r) for r in read_edges(spark, str(p), weight="w").collect())
+    assert got == [(0, 1, 2.5), (1, 2, 1.0), (2, 0, 3.0)]
+    got2 = sorted(tuple(r) for r in read_edges(spark, str(p)).collect())
+    assert got2 == [(0, 1), (1, 2), (2, 0)]
+
+    # CSV with header
+    c = tmp_path / "edges.csv"
+    c.write_text("src,dst,weight\n0,1,2.5\n1,2,1.0\n")
+    got3 = sorted(tuple(r) for r in read_edges(spark, str(c), weight="weight").collect())
+    assert got3 == [(0, 1, 2.5), (1, 2, 1.0)]
+
+    # parquet round-trip
+    q = str(tmp_path / "edges_parquet")
+    spark.createDataFrame([(5, 6, 9.0)], "src long, dst long, weight double").write.parquet(q)
+    got4 = [tuple(r) for r in read_edges(spark, q, fmt="parquet", weight="weight").collect()]
+    assert got4 == [(5, 6, 9.0)]
