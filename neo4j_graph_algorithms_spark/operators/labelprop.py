@@ -85,11 +85,19 @@ def label_propagation(
     checkpoint_interval: int = 1,
     storage: str = "edges",
     hub_degree: int = 100_000,
+    aggregate_interval: int = 1,
 ) -> LabelPropagationResult:
     """``node_labels``: optional ``(id, label long)`` seed — the
     reference's ``partition`` node property; missing vertices fall back
     to their own id.  ``node_weights``: optional ``(id, node_weight
     double)`` — the reference's ``weight`` property, default 1.0.
+
+    ``aggregate_interval`` > 1 batches the materializing changed-count
+    across k supersteps (one driver job per batch, labels bit-identical
+    — iterating past a fixpoint is a no-op).  Opt-in because
+    ``did_converge``/``iterations_ran`` are then only resolved at batch
+    granularity; keep 1 when reference YIELD parity of the iteration
+    counter matters.
 
     ``storage`` picks the scatter-side layout (same contract as
     ``pagerank``/``wcc``): ``"adjacency"`` groups the voting edges into
@@ -100,6 +108,7 @@ def label_propagation(
         return _run(
             graph, direction, max_iterations, node_labels, node_weights,
             checkpointer, checkpoint_interval, storage, hub_degree,
+            aggregate_interval,
         )
 
 
@@ -113,6 +122,7 @@ def _run(
     checkpoint_interval: int,
     storage: str,
     hub_degree: int,
+    aggregate_interval: int = 1,
 ) -> LabelPropagationResult:
     t_load0 = time.time()
     n_part = int(graph.spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -200,6 +210,10 @@ def _run(
     t_compute0 = time.time()
     did_converge = False
     it = start_iter
+    agg_interval = max(1, int(aggregate_interval))
+    if checkpointer is not None:
+        agg_interval = 1
+    pending = []
     while it < max_iterations:
         it += 1
         t0 = time.time()
@@ -239,16 +253,24 @@ def _run(
         else:
             # lazy cut; the changed-count below is the materializing job
             new_labels = truncate_lineage(new_labels, eager=False)
-        changed = new_labels.filter(F.col("changed")).count()
-        cache.track(new_labels)  # retire the previous superstep's cached labels
-        metrics.append(
-            {
-                "algorithm": "label_propagation",
-                "iteration": it,
-                "changed_vertices": int(changed),
-                "wall_ms": int(1000 * (time.time() - t0)),
-            }
-        )
+        pending.append(new_labels)
+        changed = None
+        if (
+            checkpointer is not None
+            or it % agg_interval == 0
+            or it >= max_iterations
+        ):
+            changed = new_labels.filter(F.col("changed")).count()
+            cache.track(*pending)  # adopt the batch, retire the previous
+            pending = []
+        row = {
+            "algorithm": "label_propagation",
+            "iteration": it,
+            "wall_ms": int(1000 * (time.time() - t0)),
+        }
+        if changed is not None:
+            row["changed_vertices"] = int(changed)
+        metrics.append(row)
         labels = new_labels.select("id", "label")
         if changed == 0:
             did_converge = True
