@@ -221,6 +221,22 @@ class Graph:
             grouped = grouped.repartition(num_partitions, "src", "salt")
         return grouped.select("src", "salt", "dsts", "degree", "block_degree")
 
+    def degree_distribution(self, direction: str = "OUT") -> DataFrame:
+        """``(degree long, frequency long)`` histogram over all vertices
+        (zero-degree vertices included) — the summary a capacity plan or
+        skew audit reads first.  One shuffle (the degree groupBy) plus a
+        tiny histogram aggregation."""
+        if direction == "OUT":
+            deg = self.out_degrees()
+        elif direction == "IN":
+            deg = self.in_degrees()
+        else:
+            raise ValueError(f"direction must be OUT or IN, got {direction!r}")
+        return (
+            deg.groupBy(F.col("degree").cast("long").alias("degree"))
+            .agg(F.count(F.lit(1)).alias("frequency"))
+        )
+
     # ------------------------------------------------------------------ #
     # misc
     # ------------------------------------------------------------------ #

@@ -2,6 +2,7 @@ from .edge_stream import (
     streaming_dedup_first_seen,
     streaming_degrees,
     streaming_edge_counts,
+    streaming_near_dedup_minhash,
     streaming_window_stats,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "streaming_dedup_first_seen",
     "streaming_degrees",
     "streaming_edge_counts",
+    "streaming_near_dedup_minhash",
     "streaming_window_stats",
 ]

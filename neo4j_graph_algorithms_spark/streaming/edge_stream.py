@@ -96,6 +96,98 @@ def streaming_dedup_first_seen(docs: DataFrame, text_col: str = "text") -> DataF
     )
 
 
+NEARDUP_OUT_SCHEMA = (
+    "band int, band_hash string, doc_id long, keep_id long, is_candidate_duplicate boolean"
+)
+NEARDUP_STATE_SCHEMA = "keep_id long"
+
+
+def _neardup_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    keep = state.get[0] if state.exists else None
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        ids = pd.concat(chunks)["doc_id"].sort_values()
+        out = []
+        for doc_id in ids:
+            if keep is None:
+                keep = int(doc_id)
+            out.append((int(key[0]), key[1], int(doc_id), keep, int(doc_id) != keep))
+        yield pd.DataFrame(
+            out,
+            columns=["band", "band_hash", "doc_id", "keep_id", "is_candidate_duplicate"],
+        )
+    state.update((keep,))
+
+
+def streaming_near_dedup_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate candidates: a doc whose
+    LSH band collides with any previously-seen doc is emitted flagged
+    with that first-seen ``keep_id`` (one row per colliding band; a
+    consumer dedups on doc_id).
+
+    The signature is computed ROW-LOCALLY (a higher-order ``aggregate``
+    fold over the row's own shingle array — no shuffle, so it is legal
+    ahead of the stateful operator; the per-element interpretation cost
+    is fine at micro-batch sizes), using the SAME hash family as the
+    batch ``dedup.minhash_signatures`` — streaming buckets therefore
+    equal batch buckets, asserted in tests.  State per (band, bucket)
+    is one long: O(distinct buckets), not O(stream)."""
+    from ..functions.textstats import shingles, tokens
+
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_size))
+
+    def row_hashes(s):
+        cols = []
+        for i in range(num_hashes):
+            j, half = divmod(i, 2)
+            md = F.md5(F.concat(F.lit(f"{j}:"), s))
+            cols.append(
+                F.conv(F.substring(md, 1 + 16 * half, 15), 16, 10).cast("long")
+            )
+        return F.array(*cols)
+
+    init = F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes)  # > any 60-bit hash
+    sig = F.aggregate(
+        sh, init, lambda acc, s: F.zip_with(acc, row_hashes(s), lambda a, b: F.least(a, b))
+    )
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[sig[b * rows + r].cast("string") for r in range(rows)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        docs.filter(F.size(sh) > 0)
+        .select(F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bh"))
+        .select(
+            F.col("bh.band").alias("band"),
+            F.col("bh.band_hash").alias("band_hash"),
+            "doc_id",
+        )
+    )
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        _neardup_fn,
+        outputStructType=NEARDUP_OUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_window_stats(
     events: DataFrame,
     ts_col: str = "ts",

@@ -109,3 +109,51 @@ def test_streaming_dedup_first_seen_stateful(spark, tmp_path):
     assert rows[4] == (1, True, 2)   # state survived across batches
     assert rows[2] == (2, False, 0)
     assert rows[5] == (5, False, 0)
+
+
+def test_streaming_near_dedup_minhash(spark, tmp_path):
+    from neo4j_graph_algorithms_spark.streaming import streaming_near_dedup_minhash
+    from neo4j_graph_algorithms_spark.functions import dedup as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through the quiet green field toward the river"
+    )
+    near = base + " bank"        # near-duplicate of base
+    other = (
+        "completely different content about spark structured streaming "
+        "stateful operators and watermark semantics in micro batches"
+    )
+    d = tmp_path / "docs_nd"
+    d.mkdir()
+    # batch 1: the original + unrelated doc
+    spark.createDataFrame(
+        [(1, base), (5, other)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    q = (
+        streaming_near_dedup_minhash(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_dedup")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: the near-duplicate arrives later — state must flag it
+    spark.createDataFrame(
+        [(9, near)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    _drain(q)
+    rows = spark.sql("select * from near_dedup").collect()
+    flagged = {r["doc_id"]: r["keep_id"] for r in rows if r["is_candidate_duplicate"]}
+    assert flagged == {9: 1}                      # near-dup caught across batches
+    assert all(not r["is_candidate_duplicate"] for r in rows if r["doc_id"] in (1, 5))
+
+    # streaming band buckets equal the batch minhash pipeline's buckets
+    batch = spark.createDataFrame(
+        [(1, base), (5, other), (9, near)], "doc_id long, text string"
+    )
+    batch_pairs = {
+        (r["id_a"], r["id_b"]) for r in dd.minhash_lsh_candidates(batch).collect()
+    }
+    assert batch_pairs == {(1, 9)}
