@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import truncate_lineage
 
 METRICS = ("jaccard", "overlap", "adamic_adar")
 
@@ -49,10 +50,16 @@ def neighbor_similarity(
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}, got {metric!r}")
     und = graph.canonical_undirected_edges()          # src < dst, deduped
-    inc = und.select(F.col("src").alias("n"), F.col("dst").alias("w")).union(
-        und.select(F.col("dst").alias("n"), F.col("src").alias("w"))
+    # materialize once: inc feeds both wedge sides plus the degree
+    # table — without the cut each reference re-scans the edge source
+    inc = truncate_lineage(
+        und.select(F.col("src").alias("n"), F.col("dst").alias("w")).union(
+            und.select(F.col("dst").alias("n"), F.col("src").alias("w"))
+        )
     )
-    deg = inc.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    deg = truncate_lineage(
+        inc.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    )
     wedge_src = inc
     if max_neighbor_degree is not None:
         keep = deg.filter(F.col("deg") <= max_neighbor_degree).select(
