@@ -88,8 +88,10 @@ _PROCEDURES = [
     ("algo.betweenness.stream", "algorithm", "operators.betweenness.betweenness_centrality"),
     ("algo.betweenness.sampled", "algorithm", "operators.betweenness.betweenness_centrality"),
     ("algo.betweenness.sampled.stream", "algorithm", "operators.betweenness.betweenness_centrality"),
-    # beyond-reference pipeline operator (GDS-era nodeSimilarity shape)
+    # beyond-reference pipeline operators (GDS-era surfaces)
     ("algo.nodeSimilarity", "algorithm", "operators.linkpred.neighbor_similarity"),
+    ("algo.pageRank.weighted", "algorithm", "operators.pagerank.pagerank"),
+    ("algo.pageRank.personalized", "algorithm", "operators.pagerank.pagerank"),
     ("algo.isFinite", "function", "functions.is_finite"),
     ("algo.isInfinite", "function", "functions.is_infinite"),
     ("algo.Infinity", "function", "functions.infinity"),

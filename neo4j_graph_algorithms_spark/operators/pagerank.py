@@ -115,9 +115,20 @@ def pagerank(
     storage: str = "edges",
     hub_degree: int = 100_000,
     aggregate_interval: int = 4,
+    weighted: bool = False,
+    source_nodes: list[int] | None = None,
 ) -> PageRankResult:
     """Run PageRank; defaults mirror ``PageRankProc.java:52-56``
     (damping 0.85, 20 iterations, unweighted, OUTGOING edges).
+
+    Beyond-reference variants (GDS-era surface, same delta-push loop):
+
+    - ``weighted=True``: a node pushes ``delta · w(s,t) / W(s)`` with
+      ``W(s)`` its total outgoing weight (requires ``storage='edges'``).
+    - ``source_nodes``: personalized PageRank — the (1-d) teleport mass
+      starts (and implicitly restarts) only at the given sources; all
+      other vertices init at 0.  Scores are the non-normalized
+      source-seeded recurrence, reference-style.
 
     ``storage`` picks the scatter-side layout:
 
@@ -160,6 +171,8 @@ def pagerank(
             storage,
             hub_degree,
             aggregate_interval,
+            weighted,
+            source_nodes,
         )
 
 
@@ -175,6 +188,8 @@ def _run(
     storage: str,
     hub_degree: int,
     aggregate_interval: int = 4,
+    weighted: bool = False,
+    source_nodes: list[int] | None = None,
 ) -> PageRankResult:
     spark = graph.spark
     t_load0 = time.time()
@@ -182,8 +197,11 @@ def _run(
     alpha = 1.0 - d
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
-    # Scatter-side layout — weight is ignored either way (reference
-    # PageRank loads withoutRelationshipWeights, PageRankProc.java:147).
+    if weighted and storage != "edges":
+        raise ValueError("weighted PageRank requires storage='edges'")
+    # Scatter-side layout — weight is ignored in the reference modes
+    # (PageRank loads withoutRelationshipWeights, PageRankProc.java:147);
+    # weighted=True pushes delta*w/W(s) instead of delta/outdeg.
     if storage == "adjacency":
         edges = (
             graph.adjacency(hub_degree=hub_degree, sort_neighbors=False)
@@ -192,9 +210,20 @@ def _run(
             .persist()
         )
     elif storage == "edges":
-        out_deg = graph.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-        edges = graph.edges.select("src", "dst").join(out_deg, "src")
-        edges = edges.select("src", "dst", "outdeg").repartition(n_part, "src").persist()
+        if weighted:
+            wsum = graph.edges.groupBy("src").agg(F.sum("weight").alias("wsum"))
+            edges = (
+                graph.edges.select("src", "dst", "weight")
+                .join(wsum, "src")
+                .select("src", "dst", (F.col("weight") / F.col("wsum")).alias("share"))
+            )
+        else:
+            # keep the per-message delta/outdeg DIVISION (not a
+            # precomputed reciprocal): bitwise-stable vs the unrolled
+            # SQL oracle, which divides too
+            out_deg = graph.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+            edges = graph.edges.select("src", "dst").join(out_deg, "src").select("src", "dst", "outdeg")
+        edges = edges.repartition(n_part, "src").persist()
     else:
         raise ValueError(f"storage must be 'adjacency' or 'edges', got {storage!r}")
     edges.count()  # materialize once; reused every superstep
@@ -210,11 +239,23 @@ def _run(
             metrics = checkpointer.metrics()
 
     if state is None:
-        state = graph.vertices.select(
-            F.col("id"),
-            F.lit(alpha).alias("rank"),
-            F.lit(alpha).alias("delta"),
-        )
+        if source_nodes is not None:
+            srcs = spark.createDataFrame(
+                [(int(v),) for v in source_nodes], "id long"
+            )
+            state = graph.vertices.join(
+                srcs.withColumn("seeded", F.lit(True)), "id", "left"
+            ).select(
+                "id",
+                F.when(F.col("seeded"), F.lit(alpha)).otherwise(F.lit(0.0)).alias("rank"),
+                F.when(F.col("seeded"), F.lit(alpha)).otherwise(F.lit(0.0)).alias("delta"),
+            )
+        else:
+            state = graph.vertices.select(
+                F.col("id"),
+                F.lit(alpha).alias("rank"),
+                F.lit(alpha).alias("delta"),
+            )
     cache = SuperstepCache(spark)
     state = truncate_lineage(state.repartition(n_part, "id"))  # eager
     cache.track(state)
@@ -261,10 +302,15 @@ def _run(
                 .agg(F.sum("contrib").alias("msg"))
             )
         else:
+            contrib = (
+                F.col("delta") * F.col("share")
+                if weighted
+                else F.col("delta") / F.col("outdeg")
+            )
             msgs = (
                 edges.join(frontier, "src")
                 .groupBy("dst")
-                .agg(F.sum(F.col("delta") / F.col("outdeg")).alias("msg"))
+                .agg(F.sum(contrib).alias("msg"))
             )
         msgs = msgs.hint("SHUFFLE_HASH")  # build msgs, stream state — no sorts
         new_state = (

@@ -103,3 +103,27 @@ def test_pagerank_stats_yield_row(spark, f1_graph):
     assert r["iterations"] == 2
     assert r["damping_factor"] == 0.85
     assert r["compute_millis"] >= 0
+
+
+def test_pagerank_weighted_equal_weights_matches_unweighted(spark, f1_graph):
+    from neo4j_graph_algorithms_spark import pagerank
+
+    plain = pagerank(f1_graph, max_iterations=10)
+    wtd = pagerank(f1_graph, max_iterations=10, weighted=True)  # all weights 1.0
+    sp = {r["id"]: r["score"] for r in plain.scores.collect()}
+    sw = {r["id"]: r["score"] for r in wtd.scores.collect()}
+    for k in sp:
+        assert sw[k] == pytest.approx(sp[k], abs=1e-12), k
+
+
+def test_pagerank_personalized_unreached_stay_zero(spark):
+    from neo4j_graph_algorithms_spark import Graph, pagerank
+
+    # 0→1→2 chain plus isolated component 3→4
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (3, 4)], vertices=range(5))
+    res = pagerank(g, max_iterations=10, source_nodes=[0])
+    got = {r["id"]: r["score"] for r in res.scores.collect()}
+    assert got[0] == pytest.approx(0.15)
+    assert got[1] == pytest.approx(0.15 * 0.85)
+    assert got[2] == pytest.approx(0.15 * 0.85 * 0.85)
+    assert got[3] == 0.0 and got[4] == 0.0
