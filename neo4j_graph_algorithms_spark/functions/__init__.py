@@ -92,6 +92,8 @@ _PROCEDURES = [
     ("algo.nodeSimilarity", "algorithm", "operators.linkpred.neighbor_similarity"),
     ("algo.pageRank.weighted", "algorithm", "operators.pagerank.pagerank"),
     ("algo.pageRank.personalized", "algorithm", "operators.pagerank.pagerank"),
+    ("algo.kcore", "algorithm", "operators.kcore.k_core"),
+    ("algo.coreNumbers", "algorithm", "operators.kcore.core_numbers"),
     ("algo.isFinite", "function", "functions.is_finite"),
     ("algo.isInfinite", "function", "functions.is_infinite"),
     ("algo.Infinity", "function", "functions.infinity"),

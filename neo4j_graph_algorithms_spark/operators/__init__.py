@@ -14,6 +14,7 @@ from .scc import scc
 from .mst import mst, minimum_spanning_forest
 from .betweenness import betweenness_centrality
 from .linkpred import neighbor_similarity
+from .kcore import k_core, core_numbers
 
 __all__ = [
     "pagerank",
@@ -35,4 +36,6 @@ __all__ = [
     "minimum_spanning_forest",
     "betweenness_centrality",
     "neighbor_similarity",
+    "k_core",
+    "core_numbers",
 ]

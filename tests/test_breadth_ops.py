@@ -306,3 +306,34 @@ def test_neighbor_similarity_overlap_and_hub_pruning(spark):
               for r in neighbor_similarity(g, "overlap", max_neighbor_degree=4).collect()}
     assert (1, 2) not in pruned       # hub was the only shared neighbor
     assert (0, 1) in pruned and pruned[(0, 1)] == 1   # shared neighbor 2 (deg 2)
+
+
+KCORE_EDGES = [
+    (0, 1), (0, 2), (1, 2),          # triangle (2-core)
+    (2, 3), (3, 4),                  # tail (1-core)
+    (5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8),  # 4-clique (3-core)
+    (8, 0),                          # bridge
+]
+
+
+def test_core_numbers_match_networkx(spark):
+    from neo4j_graph_algorithms_spark.operators import core_numbers
+
+    g = Graph.from_edge_list(spark, KCORE_EDGES, vertices=range(10))
+    res = core_numbers(g)
+    got = {r["id"]: r["core"] for r in res.core.collect()}
+    G = nx.Graph(KCORE_EDGES)
+    G.add_nodes_from(range(10))
+    want = nx.core_number(G)
+    assert got == want
+
+
+def test_k_core_subgraph_matches_networkx(spark):
+    from neo4j_graph_algorithms_spark.operators import k_core
+
+    g = Graph.from_edge_list(spark, KCORE_EDGES, vertices=range(10))
+    for k in (1, 2, 3, 4):
+        res = k_core(g, k)
+        got_v = {r["id"] for r in res.vertices.collect()}
+        want = set(nx.k_core(nx.Graph(KCORE_EDGES), k).nodes())
+        assert got_v == want, k
