@@ -94,6 +94,7 @@ _PROCEDURES = [
     ("algo.pageRank.personalized", "algorithm", "operators.pagerank.pagerank"),
     ("algo.kcore", "algorithm", "operators.kcore.k_core"),
     ("algo.coreNumbers", "algorithm", "operators.kcore.core_numbers"),
+    ("algo.randomWalks", "algorithm", "operators.walks.random_walks"),
     ("algo.isFinite", "function", "functions.is_finite"),
     ("algo.isInfinite", "function", "functions.is_infinite"),
     ("algo.Infinity", "function", "functions.infinity"),

@@ -15,6 +15,7 @@ from .mst import mst, minimum_spanning_forest
 from .betweenness import betweenness_centrality
 from .linkpred import neighbor_similarity
 from .kcore import k_core, core_numbers
+from .walks import random_walks
 
 __all__ = [
     "pagerank",
@@ -38,4 +39,5 @@ __all__ = [
     "neighbor_similarity",
     "k_core",
     "core_numbers",
+    "random_walks",
 ]

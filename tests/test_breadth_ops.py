@@ -337,3 +337,43 @@ def test_k_core_subgraph_matches_networkx(spark):
         got_v = {r["id"] for r in res.vertices.collect()}
         want = set(nx.k_core(nx.Graph(KCORE_EDGES), k).nodes())
         assert got_v == want, k
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    from neo4j_graph_algorithms_spark.operators import random_walks
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4)]
+    g = Graph.from_edge_list(spark, edges, vertices=range(5))
+    res = random_walks(g, walk_length=6, walks_per_node=2, seed=7)
+    rows = res.steps.collect()
+    a = {(r["walk_id"], r["step"]): r["vertex"] for r in rows}
+    # every step follows an undirected edge
+    und = {(s, t) for s, t in edges} | {(t, s) for s, t in edges}
+    for (wid, st), v in a.items():
+        if st == 0:
+            assert v == wid // 2
+        else:
+            assert (a[(wid, st - 1)], v) in und, (wid, st)
+    # full length (no dead ends in this connected graph)
+    assert len(rows) == 5 * 2 * 7
+    # bit-for-bit reproducible
+    b = {(r["walk_id"], r["step"]): r["vertex"]
+         for r in random_walks(g, walk_length=6, walks_per_node=2, seed=7).steps.collect()}
+    assert a == b
+    # a different seed gives a different corpus
+    c = {(r["walk_id"], r["step"]): r["vertex"]
+         for r in random_walks(g, walk_length=6, walks_per_node=2, seed=8).steps.collect()}
+    assert a != c
+
+
+def test_random_walks_dead_end_terminates(spark):
+    from neo4j_graph_algorithms_spark.operators import random_walks
+
+    # directed chain with a sink: walks stop at 2
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], vertices=range(3))
+    res = random_walks(g, walk_length=5, direction_both=False)
+    per_walk = {}
+    for r in res.steps.collect():
+        per_walk.setdefault(r["walk_id"], []).append((r["step"], r["vertex"]))
+    assert sorted(per_walk[0]) == [(0, 0), (1, 1), (2, 2)]
+    assert sorted(per_walk[2]) == [(0, 2)]
