@@ -88,6 +88,7 @@ _PROCEDURES = [
     ("algo.betweenness.stream", "algorithm", "operators.betweenness.betweenness_centrality"),
     ("algo.betweenness.sampled", "algorithm", "operators.betweenness.betweenness_centrality"),
     ("algo.betweenness.sampled.stream", "algorithm", "operators.betweenness.betweenness_centrality"),
+    ("algo.betweenness.maxDepth", "algorithm", "operators.betweenness.betweenness_centrality"),
     # beyond-reference pipeline operators (GDS-era surfaces)
     ("algo.nodeSimilarity", "algorithm", "operators.linkpred.neighbor_similarity"),
     ("algo.pageRank.weighted", "algorithm", "operators.pagerank.pagerank"),

@@ -40,8 +40,12 @@ class BetweennessResult:
     sources_used: int
 
 
-def _forward_levels(edges: DataFrame, sources: list[int], spark) -> DataFrame:
-    """BFS DAG levels with path counts: (source, id, depth, sigma)."""
+def _forward_levels(
+    edges: DataFrame, sources: list[int], spark, max_depth: int | None = None
+) -> DataFrame:
+    """BFS DAG levels with path counts: (source, id, depth, sigma);
+    ``max_depth`` truncates the BFS (the reference's
+    ``MaxDepthBetweennessCentrality`` estimator)."""
     frontier = spark.createDataFrame(
         [(int(s), int(s), 0, 1.0) for s in sources],
         "source long, id long, depth int, sigma double",
@@ -51,6 +55,8 @@ def _forward_levels(edges: DataFrame, sources: list[int], spark) -> DataFrame:
     depth = 0
     while True:
         depth += 1
+        if max_depth is not None and depth > max_depth:
+            break
         nxt = (
             edges.join(frontier.withColumnRenamed("id", "src"), "src")
             .select("source", F.col("dst").alias("id"), F.col("sigma"))
@@ -77,8 +83,13 @@ def betweenness_centrality(
     sample: list[int] | None = None,
     direction_both: bool = False,
     batch_size: int = 64,
+    max_depth: int | None = None,
 ) -> BetweennessResult:
-    """Exact (``sample=None``) or sampled (RA-Brandes) betweenness."""
+    """Exact (``sample=None``) or sampled (RA-Brandes) betweenness;
+    ``max_depth`` bounds each BFS (reference
+    ``impl/betweenness/MaxDepthBetweennessCentrality.java`` — paths
+    longer than the cap contribute nothing, an estimator for
+    small-world graphs where long dependencies are negligible)."""
     spark = graph.spark
     e = graph.edges.select("src", "dst").dropDuplicates()
     if direction_both:
@@ -93,11 +104,11 @@ def betweenness_centrality(
     n_sources = 0
     for batch in iter_source_batches(vertices, sample, batch_size):
         n_sources += len(batch)
-        levels, max_depth = _forward_levels(e, batch, spark)
+        levels, got_depth = _forward_levels(e, batch, spark, max_depth)
         levels = levels.persist()
         delta = levels.select("source", "id", F.lit(0.0).alias("delta"))
         # backward accumulation, one superstep per depth level
-        for d in range(max_depth, 0, -1):
+        for d in range(got_depth, 0, -1):
             down = (
                 levels.filter(F.col("depth") == d)
                 .join(delta, ["source", "id"])

@@ -377,3 +377,20 @@ def test_random_walks_dead_end_terminates(spark):
         per_walk.setdefault(r["walk_id"], []).append((r["step"], r["vertex"]))
     assert sorted(per_walk[0]) == [(0, 0), (1, 1), (2, 2)]
     assert sorted(per_walk[2]) == [(0, 2)]
+
+
+def test_betweenness_max_depth_variant(spark):
+    # chain 0-1-2-3-4: full BC of center 2 = 4 (pairs (0,3),(0,4),(1,3),(1,4)
+    # + (0..),(..) symmetric handled by undirected counting); with
+    # max_depth=1 no length-2 path exists, so all centralities are 0
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    g = Graph.from_edge_list(spark, edges, vertices=range(5))
+    full = {r["id"]: r["centrality"]
+            for r in betweenness_centrality(g, direction_both=True).centrality.collect()}
+    G = nx.Graph(edges)
+    want = nx.betweenness_centrality(G, normalized=False)
+    for v in range(5):
+        assert full[v] == pytest.approx(2 * want[v], abs=1e-9), v  # both directions counted
+    capped = {r["id"]: r["centrality"]
+              for r in betweenness_centrality(g, direction_both=True, max_depth=1).centrality.collect()}
+    assert all(c == 0.0 for c in capped.values())
