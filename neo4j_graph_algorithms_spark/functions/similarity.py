@@ -156,6 +156,81 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    assigned to their nearest centroid once; each query scores only the
+    lists of its ``nprobe`` nearest centroids — the classic
+    coarse-quantizer ANN layout (recall grows with nprobe, cost is
+    O(Q · n/n_centroids · nprobe) instead of O(Q · n)).
+
+    Deterministic by construction (so the DuckDB oracle replays it):
+    centroids are the ``n_centroids`` corpus vectors with the smallest
+    ``md5(vec_id)`` (a pseudo-random but RNG-free draw), and every
+    nearest-centroid argmax uses the 6-dp-rounded cosine with
+    centroid-id tie-break — rounding makes the argmax stable across
+    engines' float summation orders.  At 100 TB the centroid table is
+    broadcast (tiny) and the only shuffle is the per-list candidate
+    join."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    cents = (
+        c.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("cv").alias("cent_v"))
+    )
+    csim = F.round(cosine(F.col("cv"), F.col("cent_v")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cent_id")
+    )
+    assignment = (
+        c.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cv", "cent_id", csim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cv", "cent_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    qsim = F.round(cosine(F.col("qv"), F.col("cent_v")), 6)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cent_id", qsim.alias("qsim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        assignment.join(probes.hint("SHUFFLE_HASH"), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

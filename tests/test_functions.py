@@ -137,3 +137,21 @@ def test_embedding_near_duplicates_exact_vs_lsh(spark, vectors):
         ).collect()
     }
     assert lsh <= exact  # LSH can only miss, never invent
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from neo4j_graph_algorithms_spark.functions import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in sim.cosine_topk(emb, queries, k=5).collect()}
+    # probing every centroid must reproduce the exact result
+    full = {(r["query_id"], r["vec_id"])
+            for r in sim.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8).collect()}
+    assert full == exact
+    # partial probing is a subset-quality tradeoff: sane recall, valid rows
+    part = sim.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3).collect()
+    hit = sum(1 for r in part if (r["query_id"], r["vec_id"]) in exact)
+    assert len(part) > 0 and hit / len(exact) > 0.3
+    assert all(1 <= r["rank"] <= 5 for r in part)
