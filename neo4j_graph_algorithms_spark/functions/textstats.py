@@ -70,9 +70,9 @@ def shingle_rows(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """``(id, s)`` — one row per word n-gram shingle occurrence (NOT
-    deduplicated; add ``.dropDuplicates(["id", "s"])`` for set
-    semantics).  Same shingle strings as ``shingles`` ∘ ``tokens``, but
+    """``(id, pos, s)`` — one row per word n-gram shingle occurrence
+    with its 0-based position (NOT deduplicated; add
+    ``.dropDuplicates(["id", "s"])`` for set semantics).  Same shingle strings as ``shingles`` ∘ ``tokens``, but
     via slice + arrays_zip + explode + concat_ws — no higher-order
     lambdas, so the whole construction stays in whole-stage codegen
     (measured 5.8× over the transform() form on the documents table).
@@ -83,9 +83,10 @@ def shingle_rows(
     )
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.when(F.size(a) >= n, zipped)).alias("z"),
+        F.posexplode(F.when(F.size(a) >= n, zipped)).alias("pos", "z"),
     ).select(
         "id",
+        "pos",
         F.concat_ws(" ", *[f"z.t{k}" for k in range(n)]).alias("s"),
     )
 
@@ -153,3 +154,43 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.substring(F.sha2(F.col(text_col), 256), 1, 16).alias("content_fp"),
         F.array_min(F.transform(sh, F.md5)).alias("shingle_fp"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """``(doc_id, fp)`` — winnowing fingerprints (Schleimer/Wilkerson/
+    Aiken, the MOSS algorithm): hash every word k-gram, slide a
+    ``window``-wide window over the hash sequence, keep each window's
+    minimum, emit the distinct minima.  Guarantees every match of
+    length ≥ k + window - 1 shares a fingerprint while storing ~2/(w+1)
+    of the hashes — the standard local document fingerprint.
+
+    Hash = first 60 bits of md5 (exact BIGINT, engine-portable); the
+    window minimum is a per-document window frame (partition by doc —
+    no global sort)."""
+    from pyspark.sql import Window as W
+
+    sh = shingle_rows(df, text_col, id_col, k)
+    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    w = (
+        W.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        sh.select("id", "pos", h.alias("h"))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.min("h").over(w).alias("fp"),
+            F.count(F.lit(1)).over(w).alias("wn"),
+        )
+        .filter(F.col("wn") == window)      # full windows only (spec)
+        .dropDuplicates(["doc_id", "fp"])
+        .select("doc_id", "fp")
+    )
+
