@@ -67,3 +67,25 @@ def test_checkpoint_gc_keeps_last(spark, f1_graph, tmp_path):
         n for n in os.listdir(ckpt.root) if n.startswith("iter=")
     )
     assert iters == ["iter=00004", "iter=00005"]
+
+
+def test_labelprop_resume(spark, tmp_path):
+    from neo4j_graph_algorithms_spark import label_propagation
+
+    vertices = spark.createDataFrame(
+        FX.LP_VERTICES, "id long, cls string, partition long, weight double"
+    )
+    edges = spark.createDataFrame(
+        [(s, t, 1.0) for s, t in FX.LP_EDGES], "src long, dst long, weight double"
+    )
+    g = Graph(edges, vertices=vertices)
+    direct = {
+        r["id"]: r["label"]
+        for r in label_propagation(g, max_iterations=4).labels.collect()
+    }
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path), "lp", run_id="l1")
+    label_propagation(g, max_iterations=2, checkpointer=ckpt)
+    ckpt2 = SuperstepCheckpointer(spark, str(tmp_path), "lp", run_id="l1")
+    resumed = label_propagation(g, max_iterations=4, checkpointer=ckpt2)
+    got = {r["id"]: r["label"] for r in resumed.labels.collect()}
+    assert got == direct
