@@ -81,13 +81,17 @@ def _wedge_triangles(oe: DataFrame) -> DataFrame:
     e2 = oe.select(
         F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddeg").alias("wdeg")
     )
-    # wedge at the apex u, ordered (deg, id) so each wedge appears once
-    wedges = e1.join(e2, "u").filter(
+    # wedge at the apex u, ordered (deg, id) so each wedge appears once.
+    # SHUFFLE_HASH: hash one |E| branch instead of sorting both; the
+    # payoff is the SEMI join below — its probe side is the wedge set
+    # (Σ deg² rows), which an SMJ would SORT in full, while SHJ builds
+    # the |E|-row edge-existence map and streams the wedges unsorted.
+    wedges = e1.join(e2.hint("SHUFFLE_HASH"), "u").filter(
         (F.col("vdeg") < F.col("wdeg"))
         | ((F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w")))
     )
     e3 = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(e3, ["v", "w"], "left_semi").select("u", "v", "w")
+    tri = wedges.join(e3.hint("SHUFFLE_HASH"), ["v", "w"], "left_semi").select("u", "v", "w")
     return tri.select(
         F.array_sort(F.array("u", "v", "w")).alias("t")
     ).select(
