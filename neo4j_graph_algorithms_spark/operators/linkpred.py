@@ -75,8 +75,10 @@ def neighbor_similarity(
             deg.select(F.col("n").alias("w"), F.col("deg").alias("wdeg")), "w"
         )
         pair_aggs.append(F.sum(1.0 / F.log(F.col("wdeg"))).alias("aa"))
+    # SHJ: hash one incidence branch instead of sorting both, and keep
+    # the (possibly huge) pair stream unsorted through the degree joins
     pairs = (
-        a.join(b, "w")
+        a.join(b.hint("SHUFFLE_HASH"), "w")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(*pair_aggs)
@@ -84,7 +86,9 @@ def neighbor_similarity(
     )
     da = deg.select(F.col("n").alias("id_a"), F.col("deg").alias("da"))
     db = deg.select(F.col("n").alias("id_b"), F.col("deg").alias("db"))
-    scored = pairs.join(da, "id_a").join(db, "id_b")
+    scored = pairs.join(da.hint("SHUFFLE_HASH"), "id_a").join(
+        db.hint("SHUFFLE_HASH"), "id_b"
+    )
     if metric == "jaccard":
         score = F.col("common") / (F.col("da") + F.col("db") - F.col("common"))
     elif metric == "overlap":
