@@ -112,3 +112,33 @@ def test_sssp_matches_dijkstra_random(spark, edges, data):
             assert got[v] == pytest.approx(want[v], abs=1e-9), (wedges, v)
         else:
             assert got[v] == float("inf"), (wedges, v)
+
+
+@given(edges=edge_strategy)
+@SETTINGS
+def test_triangle_count_matches_networkx(spark, edges):
+    from neo4j_graph_algorithms_spark import Graph, triangle_count
+
+    g = Graph.from_edge_list(spark, edges, vertices=range(N_VERTS))
+    res = triangle_count(g)
+    G = nx.Graph()
+    G.add_nodes_from(range(N_VERTS))
+    G.add_edges_from(edges)
+    want = nx.triangles(G)
+    got = {r["id"]: r["triangles"] for r in res.per_node.collect()}
+    assert got == want, edges
+    assert res.triangle_count == sum(want.values()) // 3
+
+
+@given(edges=edge_strategy)
+@SETTINGS
+def test_core_numbers_match_networkx_random(spark, edges):
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators import core_numbers
+
+    g = Graph.from_edge_list(spark, edges, vertices=range(N_VERTS))
+    got = {r["id"]: r["core"] for r in core_numbers(g).core.collect()}
+    G = nx.Graph()
+    G.add_nodes_from(range(N_VERTS))
+    G.add_edges_from(edges)
+    assert got == nx.core_number(G), edges
