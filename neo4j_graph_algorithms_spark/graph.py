@@ -123,7 +123,7 @@ class Graph:
         deg = self.edges.groupBy(F.col("src").alias("id")).agg(agg.alias("degree"))
         return (
             self.vertices.select("id")
-            .join(deg, "id", "left")
+            .join(deg.hint("SHUFFLE_HASH"), "id", "left")
             .select("id", F.coalesce("degree", F.lit(0)).cast("double" if weighted else "long").alias("degree"))
         )
 
@@ -131,7 +131,7 @@ class Graph:
         deg = self.edges.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
         return (
             self.vertices.select("id")
-            .join(deg, "id", "left")
+            .join(deg.hint("SHUFFLE_HASH"), "id", "left")
             .select("id", F.coalesce("degree", F.lit(0)).alias("degree"))
         )
 

@@ -147,7 +147,7 @@ def betweenness_centrality(
         levels.unpersist()
 
     scale = float(n) / n_sources if sample is not None and n_sources else 1.0
-    cent = vertices.join(acc, "id", "left").select(
+    cent = vertices.join(acc.hint("SHUFFLE_HASH"), "id", "left").select(
         "id", (F.coalesce(F.col("c"), F.lit(0.0)) * F.lit(scale)).alias("centrality")
     )
     e.unpersist()

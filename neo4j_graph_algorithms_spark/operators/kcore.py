@@ -118,7 +118,7 @@ def core_numbers(graph: Graph, max_iterations: int = 10_000) -> CoreNumbersResul
         est = nxt.select("id", "est")
         if changed == 0:
             break
-    core = graph.vertices.select("id").join(est, "id", "left").select(
+    core = graph.vertices.select("id").join(est.hint("SHUFFLE_HASH"), "id", "left").select(
         "id", F.coalesce("est", F.lit(0)).cast("long").alias("core")
     )
     return CoreNumbersResult(core=core, iterations_ran=it)

@@ -72,7 +72,10 @@ def neighbor_similarity(
     if metric == "adamic_adar":
         # weight of the shared neighbor, joined once on the wedge rows
         a = a.join(
-            deg.select(F.col("n").alias("w"), F.col("deg").alias("wdeg")), "w"
+            deg.select(F.col("n").alias("w"), F.col("deg").alias("wdeg")).hint(
+                "SHUFFLE_HASH"
+            ),
+            "w",
         )
         pair_aggs.append(F.sum(1.0 / F.log(F.col("wdeg"))).alias("aa"))
     # SHJ: hash one incidence branch instead of sorting both, and keep

@@ -180,7 +180,7 @@ def closeness_centrality(graph: Graph, sample: list[int] | None = None) -> Centr
     acc, n_sources = _batched_depth_sums(
         graph, iter_source_batches(vertices, sample, OMEGA), harmonic=False
     )
-    cent = vertices.join(acc, "id", "left").select(
+    cent = vertices.join(acc.hint("SHUFFLE_HASH"), "id", "left").select(
         "id",
         F.when(
             F.coalesce(F.col("s"), F.lit(0.0)) > 0, F.lit(float(n - 1)) / F.col("s")
@@ -199,7 +199,7 @@ def harmonic_centrality(graph: Graph, sample: list[int] | None = None) -> Centra
     acc, n_sources = _batched_depth_sums(
         graph, iter_source_batches(vertices, sample, OMEGA), harmonic=True
     )
-    cent = vertices.join(acc, "id", "left").select(
+    cent = vertices.join(acc.hint("SHUFFLE_HASH"), "id", "left").select(
         "id",
         (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(float(max(n - 1, 1)))).alias(
             "centrality"

@@ -249,7 +249,7 @@ def shortest_path_nodes(
             "strictly positive weights"
         )
     path = chain.join(
-        res.distances, chain["node"] == res.distances["id"]
+        res.distances.hint("SHUFFLE_HASH"), chain["node"] == res.distances["id"]
     ).select(F.col("id").alias("node_id"), F.col("distance").alias("cost"))
     # the path is at most diameter-long — a single-partition window over
     # it is fine at any graph scale (the *path*, not the graph, is small)
