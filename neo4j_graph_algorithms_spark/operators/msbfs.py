@@ -223,7 +223,9 @@ def all_shortest_paths_unweighted(
         idx = spark.createDataFrame(
             [(j, int(s)) for j, s in enumerate(batch)], "source_idx int, source long"
         )
-        lv = msbfs_levels(graph, batch, direction_both=direction_both).join(idx, "source_idx")
+        lv = msbfs_levels(graph, batch, direction_both=direction_both).join(
+            F.broadcast(idx), "source_idx"
+        )
         part = lv.select(
             "source", F.col("id").alias("target"), F.col("depth").cast("double").alias("distance")
         )

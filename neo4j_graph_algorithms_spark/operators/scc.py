@@ -152,7 +152,7 @@ def scc(graph: Graph, max_rounds: int = 10_000) -> SccResult:
     # the coloring pass)
     if assigned is not None:
         remap = assigned.groupBy("scc_id").agg(F.min("id").alias("min_id"))
-        assigned = assigned.join(remap, "scc_id").select(
+        assigned = assigned.join(remap.hint("SHUFFLE_HASH"), "scc_id").select(
             "id", F.col("min_id").alias("scc_id")
         )
     return SccResult(components=assigned, rounds=rounds, metrics=metrics)
