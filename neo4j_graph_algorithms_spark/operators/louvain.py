@@ -108,11 +108,15 @@ def louvain(
         best = cand.groupBy("id").agg(
             F.max(F.struct(F.col("gain"), (-F.col("tc")).alias("neg"))).alias("win")
         ).select("id", (-F.col("win.neg")).alias("best_comm"))
-        # hash-based eligibility (deterministic Murmur3): roughly half
-        # the vertices move per superstep, breaking synchronous swap
-        # cycles the way the reference's async scheduling does — but
-        # reproducibly.
-        eligible = (F.hash(F.col("id"), F.lit(it)) % 2) == 0
+        # hash-based eligibility: roughly half the vertices move per
+        # superstep, breaking synchronous swap cycles the way the
+        # reference's async scheduling does — but reproducibly.  The
+        # hash is md5-hex parity of "id:iteration" (portable: DuckDB
+        # computes the identical predicate, so the driver oracle can
+        # replay the exact move schedule).
+        eligible = F.substring(
+            F.md5(F.concat_ws(":", F.col("id").cast("string"), F.lit(str(it)))), 1, 1
+        ).isin("0", "2", "4", "6", "8", "a", "c", "e")
         wants = best["best_comm"].isNotNull() & (best["best_comm"] != F.col("community"))
         moved = (
             comm.join(best.hint("SHUFFLE_HASH"), "id", "left")
