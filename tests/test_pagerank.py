@@ -57,6 +57,22 @@ def test_pagerank_tolerance_convergence(spark, f1_graph):
         assert got[FX.PAGERANK_IDS[name]] == pytest.approx(want, abs=1e-2), name
 
 
+def test_pagerank_batched_tolerance_check(spark, f1_graph):
+    """tolerance_check_interval=k: convergence tested every k supersteps
+    — stop may overshoot by <k supersteps, iterations_ran counts the
+    supersteps actually applied, and the scores are bit-identical to a
+    fixed-iteration run of that same count."""
+    exact = pagerank(f1_graph, max_iterations=200, tolerance=1e-6)
+    batched = pagerank(
+        f1_graph, max_iterations=200, tolerance=1e-6, tolerance_check_interval=4
+    )
+    assert batched.converged
+    assert exact.iterations_ran <= batched.iterations_ran < exact.iterations_ran + 4
+    same_count = pagerank(f1_graph, max_iterations=batched.iterations_ran)
+    a, b = _scores(batched), _scores(same_count)
+    assert a == b  # bit-identical, not approx
+
+
 def test_pagerank_reproducible_1e6(spark, f1_graph):
     a = _scores(pagerank(f1_graph, max_iterations=25))
     b = _scores(pagerank(f1_graph, max_iterations=25))
