@@ -93,10 +93,19 @@ def wcc(
     compute_set_count: bool = False,
     storage: str = "edges",
     hub_degree: int = 100_000,
+    check_interval: int = 1,
 ) -> WccResult:
     """Connected components; ``threshold`` keeps only edges with
     ``weight >= threshold`` first (``UnionFindProcExec`` ``"threshold"``
     config key, ``GraphUnionFind.java:89-93``).
+
+    ``check_interval``: test the fixpoint (the materializing
+    changed-count) every k supersteps instead of every superstep — one
+    driver job amortized over k lazily-checkpointed levels.  Supersteps
+    past the fixpoint are no-ops (min over longs is idempotent), so the
+    components are identical; ``iterations_ran`` may overshoot by up to
+    k-1 and per-superstep ``metrics`` are recorded at batch boundaries
+    only.  The standard periodic-check trade for cluster-scale runs.
 
     ``storage`` picks the scatter-side layout (same contract as
     ``pagerank``; reference analogue: per-query graph-impl selection,
@@ -112,7 +121,7 @@ def wcc(
         return _run(
             graph, g, n_part, max_iterations, checkpointer,
             checkpoint_interval, broadcast_frontier_rows, compute_set_count,
-            storage, hub_degree,
+            storage, hub_degree, check_interval,
         )
 
 
@@ -127,6 +136,7 @@ def _run(
     compute_set_count: bool,
     storage: str,
     hub_degree: int,
+    check_interval: int = 1,
 ) -> WccResult:
     t_load0 = time.time()
     # Undirected message edges: each edge both ways, deduped; persisted
@@ -169,6 +179,12 @@ def _run(
     t_compute0 = time.time()
 
     it = start_iter
+    k_check = max(1, int(check_interval))
+    if checkpointer is not None or broadcast_frontier_rows is not None:
+        # durable saves need per-superstep materialization; the
+        # broadcast decision needs a per-superstep frontier size
+        k_check = 1
+    pending: list[DataFrame] = []
     while it < max_iterations:
         it += 1
         t0 = time.time()
@@ -208,16 +224,23 @@ def _run(
         else:
             # lazy cut; the changed-count below is the materializing job
             joined = truncate_lineage(joined, eager=False)
-        changed = joined.filter(F.col("changed")).count()
-        cache.track(joined)  # retire the previous superstep's cached state
-        metrics.append(
-            {
-                "algorithm": "wcc",
-                "iteration": it,
-                "changed_vertices": int(changed),
-                "wall_ms": int(1000 * (time.time() - t0)),
-            }
-        )
+        pending.append(joined)
+        at_boundary = it % k_check == 0 or it >= max_iterations
+        changed = None
+        if at_boundary:
+            changed = joined.filter(F.col("changed")).count()
+            # the batch is materialized (every lazy level cached during
+            # the count's job): adopt it, retire the previous batch
+            cache.track(*pending)
+            pending = []
+            metrics.append(
+                {
+                    "algorithm": "wcc",
+                    "iteration": it,
+                    "changed_vertices": int(changed),
+                    "wall_ms": int(1000 * (time.time() - t0)),
+                }
+            )
         state = joined.select("id", "comp")
         if changed == 0:
             break

@@ -104,3 +104,17 @@ def test_wcc_adjacency_hub_salting(spark):
     se = {r["id"]: r["set_id"] for r in e.components.collect()}
     sa = {r["id"]: r["set_id"] for r in a.components.collect()}
     assert se == sa
+
+
+def test_wcc_batched_check_interval(spark):
+    """check_interval=k: fixpoint tested every k supersteps — the <k
+    overshoot supersteps are no-ops (min is idempotent), components
+    identical, iterations_ran within [exact, exact+k)."""
+    edges = [(i, i + 1) for i in range(0, 20)] + [(30, 31), (31, 32)]
+    g = Graph.from_edge_list(spark, edges, vertices=range(33))
+    exact = wcc(g)
+    batched = wcc(g, check_interval=4)
+    ce = {r["id"]: r["set_id"] for r in exact.components.collect()}
+    cb = {r["id"]: r["set_id"] for r in batched.components.collect()}
+    assert ce == cb
+    assert exact.iterations_ran <= batched.iterations_ran < exact.iterations_ran + 4
