@@ -1,4 +1,5 @@
-"""Louvain community detection — single-level, like the reference.
+"""Louvain community detection — single-level (reference parity) plus
+an opt-in multi-level mode (graph coarsening, GDS-style).
 
 Reference (``algo/.../impl/louvain/Louvain.java:77-170``): no graph
 coarsening — one level of modularity-greedy moves.  Init: each node its
@@ -16,10 +17,23 @@ oscillations synchronous updates are prone to; convergence is declared
 only at a true fixpoint (no vertex has a positive-gain move left).
 The reference's own fixtures converge to the same communities.
 
+``levels > 1`` (beyond-reference): after a level reaches fixpoint,
+each community is contracted to a super-node — edge weights are summed
+per (community, community) pair, intra-community edges become
+self-loops (their weight keeps the node strength and 2m invariant) —
+and the same move phase reruns on the contracted weighted graph.  The
+reference gain formula needs no modification: ``w_into`` and ``sTot``
+are weight sums either way, and the eligibility schedule restarts at
+iteration 1 per level, so the whole multi-level run stays exactly
+deterministic (and SQL-replayable — see the driver oracle).  Final
+community ids bottom out at original vertex ids.
+
 Spark shape per superstep: sTot = comm ⋈ degrees groupBy(comm);
 w_into = edges ⋈ comm(dst side) groupBy(src, target_comm); gain is a
 projection; argmax via ``max_by(struct)``.  Two shuffles per superstep,
-both map-side combined.
+both map-side combined.  Contraction is one groupBy over the edge
+table per level — at 100 TB each level's graph shrinks by the average
+community size, so the level-2+ passes are much cheaper than level 1.
 """
 
 from __future__ import annotations
@@ -41,47 +55,49 @@ class LouvainResult:
     did_converge: bool
     community_count: int | None = None
     metrics: list[dict] = field(default_factory=list)
+    levels_ran: int = 1
 
 
-def louvain(
-    graph: Graph,
-    max_iterations: int = 10,
-    weighted: bool = False,
-    compute_community_count: bool = False,
-) -> LouvainResult:
-    """``graph`` is used as-is — pass an undirected (both-direction)
-    graph for reference semantics (its loader uses
-    ``withDirection(BOTH).asUndirected(true)``, ``LouvainTest.java:122-128``)."""
-    spark = graph.spark
-    edges = graph.edges.persist()
-    wcol = F.col("weight") if weighted else F.lit(1.0)
-    deg = edges.groupBy(F.col("src").alias("id")).agg(
-        (F.sum("weight") if weighted else F.count(F.lit(1)).cast("double")).alias("deg")
-    )
-    vertices = graph.vertices.select("id").join(deg, "id", "left").select(
+def _one_level(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iterations: int,
+    level: int,
+    metrics: list[dict],
+) -> tuple[DataFrame, int, bool, int]:
+    """One move phase over ``edges (src, dst, weight)`` /
+    ``vertices (id)``; returns (communities, iterations, converged,
+    total_moved)."""
+    edges = edges.persist()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("deg"))
+    verts = vertices.select("id").join(deg, "id", "left").select(
         "id", F.coalesce("deg", F.lit(0.0)).alias("deg")
     ).persist()
-    m2 = vertices.agg(F.sum("deg")).first()[0] or 0.0  # 2m
+    m2 = verts.agg(F.sum("deg")).first()[0] or 0.0  # 2m
     if m2 == 0.0:
-        comm = vertices.select("id", F.col("id").alias("community"))
-        return LouvainResult(comm, 0, True, None, [])
+        comm = verts.select("id", F.col("id").alias("community"))
+        edges.unpersist()
+        verts.unpersist()
+        return comm, 0, True, 0
     mq2 = m2 * m2
 
     cache = SuperstepCache(spark)
-    comm = truncate_lineage(vertices.select("id", F.col("id").alias("community")))
+    comm = truncate_lineage(verts.select("id", F.col("id").alias("community")))
     cache.track(comm)
-    metrics: list[dict] = []
     did_converge = False
+    total_moved = 0
     it = 0
     while it < max_iterations:
         it += 1
         t0 = time.time()
         stot = (
-            comm.join(vertices, "id")
+            comm.join(verts, "id")
             .groupBy("community")
             .agg(F.sum("deg").alias("stot"))
         )
-        # w_into_c per (node, neighbor community)
+        # w_into_c per (node, neighbor community); self-loops count
+        # toward the own community, mirroring the reference's formula
         w_into = (
             edges.join(
                 comm.select(
@@ -90,10 +106,10 @@ def louvain(
                 "dst",
             )
             .groupBy(F.col("src").alias("id"), F.col("tc"))
-            .agg((F.sum(wcol) if weighted else F.count(F.lit(1)).cast("double")).alias("w_in"))
+            .agg(F.sum("weight").alias("w_in"))
         )
         cand = (
-            w_into.join(vertices, "id")
+            w_into.join(verts, "id")
             .join(stot.withColumnRenamed("community", "tc"), "tc")
             .select(
                 "id",
@@ -113,7 +129,7 @@ def louvain(
         # reference's async scheduling does — but reproducibly.  The
         # hash is md5-hex parity of "id:iteration" (portable: DuckDB
         # computes the identical predicate, so the driver oracle can
-        # replay the exact move schedule).
+        # replay the exact move schedule; it restarts per level).
         eligible = F.substring(
             F.md5(F.concat_ws(":", F.col("id").cast("string"), F.lit(str(it)))), 1, 1
         ).isin("0", "2", "4", "6", "8", "a", "c", "e")
@@ -135,10 +151,12 @@ def louvain(
             F.sum(F.when(F.col("wants"), 1).otherwise(0)).alias("wants"),
         ).first()
         changed, want_move = int(stats["moved"] or 0), int(stats["wants"] or 0)
+        total_moved += changed
         cache.track(moved)  # retire the previous iteration's cached communities
         metrics.append(
             {
                 "algorithm": "louvain",
+                "level": level,
                 "iteration": it,
                 "moved": changed,
                 "want_move": want_move,
@@ -152,14 +170,93 @@ def louvain(
             break
 
     edges.unpersist()
-    vertices.unpersist()
+    verts.unpersist()
+    return comm, it, did_converge, total_moved
+
+
+def louvain(
+    graph: Graph,
+    max_iterations: int = 10,
+    weighted: bool = False,
+    compute_community_count: bool = False,
+    levels: int = 1,
+) -> LouvainResult:
+    """``graph`` is used as-is — pass an undirected (both-direction)
+    graph for reference semantics (its loader uses
+    ``withDirection(BOTH).asUndirected(true)``, ``LouvainTest.java:122-128``).
+
+    ``levels``: number of coarsening levels (default 1 = reference
+    parity).  Each extra level contracts communities to super-nodes
+    (weights summed, intra edges as self-loops — 2m invariant) and
+    reruns the move phase; stops early when a level moves nothing
+    (contraction is then the identity, and the restarted deterministic
+    schedule would replay the same non-moves)."""
+    spark = graph.spark
+    wexpr = (
+        F.col("weight").cast("double")
+        if weighted and "weight" in graph.edges.columns
+        else F.lit(1.0)
+    )
+    edges = graph.edges.select("src", "dst", wexpr.alias("weight"))
+    vertices = graph.vertices.select("id")
+
+    metrics: list[dict] = []
+    assignment: DataFrame | None = None
+    total_iters = 0
+    did_converge = True
+    levels_ran = 0
+    for level in range(1, max(1, int(levels)) + 1):
+        comm, iters, conv, moved = _one_level(
+            spark, edges, vertices, max_iterations, level, metrics
+        )
+        levels_ran = level
+        total_iters += iters
+        did_converge = did_converge and conv
+        if assignment is None:
+            assignment = comm
+        else:
+            # compose: orig → level-(l-1) community → level-l community
+            assignment = (
+                assignment.join(
+                    comm.select(
+                        F.col("id").alias("community"),
+                        F.col("community").alias("new_c"),
+                    ),
+                    "community",
+                )
+                .select("id", F.col("new_c").alias("community"))
+            )
+            assignment = truncate_lineage(assignment)
+        if level < max(1, int(levels)):
+            if moved == 0:
+                break
+            cmap = comm
+            edges = (
+                edges.join(
+                    cmap.select(
+                        F.col("id").alias("src"), F.col("community").alias("csrc")
+                    ),
+                    "src",
+                )
+                .join(
+                    cmap.select(
+                        F.col("id").alias("dst"), F.col("community").alias("cdst")
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+                .agg(F.sum("weight").alias("weight"))
+            )
+            vertices = cmap.select(F.col("community").alias("id")).distinct()
+
     count = None
     if compute_community_count:
-        count = comm.select("community").distinct().count()
+        count = assignment.select("community").distinct().count()
     return LouvainResult(
-        communities=comm,
-        iterations_ran=it,
+        communities=assignment,
+        iterations_ran=total_iters,
         did_converge=did_converge,
         community_count=count,
         metrics=metrics,
+        levels_ran=levels_ran,
     )

@@ -41,6 +41,33 @@ def test_louvain_two_cliques(spark):
     assert len({comm[i] for i in (4, 5, 6, 7)}) == 1
 
 
+def test_louvain_multilevel_improves_cycle(spark):
+    """Multi-level (coarsening) mode: on a long cycle, single-level
+    Louvain gets stuck at small segments; contracting and rerunning
+    merges them into larger arcs with strictly better modularity.
+    On an already-optimal partition (ring of cliques), level 2 must
+    decline to merge and the level loop must early-exit."""
+    G = nx.cycle_graph(60)
+    g = Graph.from_edge_list(spark, list(G.edges()), vertices=G.nodes).undirected()
+
+    def q_of(res):
+        groups = {}
+        for r in res.communities.collect():
+            groups.setdefault(r["community"], set()).add(r["id"])
+        return nx.algorithms.community.modularity(G, groups.values())
+
+    q1 = q_of(louvain(g, max_iterations=10, levels=1))
+    multi = louvain(g, max_iterations=10, levels=4)
+    assert multi.levels_ran > 1
+    assert q_of(multi) > q1 + 0.05
+
+    R = nx.ring_of_cliques(12, 6)
+    rg = Graph.from_edge_list(spark, list(R.edges()), vertices=R.nodes).undirected()
+    opt = louvain(rg, max_iterations=10, levels=3)
+    assert opt.levels_ran == 2  # level 2 moved nothing -> early exit
+    assert opt.communities.select("community").distinct().count() == 12
+
+
 def test_louvain_modularity_quantitative(spark):
     """Rows-only driver entry gets its quantitative check here: the
     modularity of the produced partition must reach the known optimum
