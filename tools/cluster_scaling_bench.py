@@ -1,0 +1,170 @@
+"""Two-CLUSTER-SIZE scaling evidence on a local standalone Spark
+cluster — the closest sandbox substitute for the north rule's "N and
+4N executors": a master plus separate worker JVMs on this host, the
+same spark-submit-style job at 1 worker × 8 cores (N) vs 4 workers ×
+8 cores (4N).  Unlike local[8]/local[32] (one JVM, one heap), each
+executor here has its own 10g heap and GC, its own task threads, and
+shuffles over netty — the actual multi-executor execution path.
+Measured on the local[32] protocol, GC was ~32% of the 4N leg's wall
+(one 48g heap collected by one G1 across 32 threads); separate
+executor JVMs remove exactly that artifact, which is also why a real
+cluster is the regime the ≥0.8 target describes.
+
+Protocol: master started with spark.deploy.spreadOut=false so a
+cores.max=8 app consolidates onto ONE worker (true N leg) while
+cores.max=32 spans all four.  Interleaved N/4N leg pairs, each leg a
+separate driver process, best-of per level (same noise-climate
+rationale as tools/scaling_bench.py).
+
+Usage: python tools/cluster_scaling_bench.py [--edges-path P]
+         [--repeat 2] [--out BENCH/CLUSTER.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_home() -> str:
+    import pyspark
+
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+def _spawn_daemon(cls: str, *args: str) -> subprocess.Popen:
+    sp = _spark_home()
+    env = dict(
+        os.environ,
+        SPARK_HOME=sp,
+        SPARK_LOG_DIR="/tmp/spark-logs",
+        SPARK_WORKER_DIR="/tmp/spark-work",
+        SPARK_MASTER_OPTS="-Dspark.deploy.spreadOut=false",
+    )
+    os.makedirs("/tmp/spark-logs", exist_ok=True)
+    return subprocess.Popen(
+        [os.path.join(sp, "bin", "spark-class"), cls, *args],
+        env=env,
+        stdout=open(f"/tmp/spark-logs/{cls.rsplit('.', 1)[-1]}-{args[-1]}.log", "w"),
+        stderr=subprocess.STDOUT,
+    )
+
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from neo4j_graph_algorithms_spark import Graph, pagerank
+from neo4j_graph_algorithms_spark.session import get_spark
+
+cores_max = int(os.environ["CORES_MAX"])
+spark = get_spark(app_name=f"cluster-leg-{cores_max}",
+                  shuffle_partitions=cores_max,
+                  extra_conf={
+                      "spark.executor.memory": "10g",
+                      "spark.executor.cores": "8",
+                      "spark.cores.max": str(cores_max),
+                  })
+edges = spark.read.parquet(os.environ["EDGES_PATH"]).persist()
+n_edges = edges.count()
+g = Graph.from_edges(edges)
+pagerank(g, max_iterations=8).scores.count()  # warmup (JIT per executor)
+t0 = time.time()
+res = pagerank(g, max_iterations=200, tolerance=1e-6, tolerance_check_interval=4)
+res.scores.count()
+dt = time.time() - t0
+print(json.dumps({
+    "cores_max": cores_max, "edges": n_edges,
+    "supersteps": res.iterations_ran, "seconds": round(dt, 3),
+    "edges_per_sec": round(n_edges * res.iterations_ran / dt, 1),
+}))
+spark.stop()
+"""
+
+
+def _run_leg(cores_max: int, edges_path: str) -> dict:
+    env = dict(
+        os.environ,
+        REPO=REPO,
+        CORES_MAX=str(cores_max),
+        EDGES_PATH=edges_path,
+        SPARK_GRAFT_MASTER="spark://127.0.0.1:7077",
+        SPARK_GRAFT_DRIVER_MEM="8g",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD], env=env, capture_output=True, text=True,
+        check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges-path", default="/tmp/scaling_edges_20m.parquet")
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "CLUSTER.md"))
+    args = ap.parse_args()
+
+    daemons = [_spawn_daemon(
+        "org.apache.spark.deploy.master.Master",
+        "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8091",
+    )]
+    time.sleep(8)
+    for i in range(4):
+        daemons.append(_spawn_daemon(
+            "org.apache.spark.deploy.worker.Worker", "spark://127.0.0.1:7077",
+            "-c", "8", "-m", "12g", "--webui-port", str(8092 + i),
+        ))
+    time.sleep(10)
+
+    try:
+        lo_runs, hi_runs = [], []
+        for _ in range(args.repeat):
+            lo_runs.append(_run_leg(8, args.edges_path))
+            hi_runs.append(_run_leg(32, args.edges_path))
+        lo = max(lo_runs, key=lambda r: r["edges_per_sec"])
+        hi = max(hi_runs, key=lambda r: r["edges_per_sec"])
+        eff = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4.0
+        md = f"""# BENCH/CLUSTER — standalone multi-executor scaling evidence
+
+Local standalone Spark cluster (one master, four 8-core / 12g worker
+JVMs on this host, spark.deploy.spreadOut=false), identical PageRank
+job (supersteps to 1e-6 convergence, tolerance_check_interval=4) at
+two cluster sizes:
+
+| level | executors | total cores | edges | supersteps | seconds | edges/sec |
+|---|---|---|---|---|---|---|
+| N  | 1 × 8 cores | 8  | {lo['edges']} | {lo['supersteps']} | {lo['seconds']} | {lo['edges_per_sec']} |
+| 4N | 4 × 8 cores | 32 | {hi['edges']} | {hi['supersteps']} | {hi['seconds']} | {hi['edges_per_sec']} |
+
+scaling_efficiency = (edges_per_sec_4N / edges_per_sec_N) / 4 = **{eff:.3f}**
+
+All samples (seconds, interleaved run order):
+- N : {[r['seconds'] for r in lo_runs]}
+- 4N: {[r['seconds'] for r in hi_runs]}
+
+Each executor is a separate JVM with its own 10g heap and GC and its
+own shuffle server — the actual multi-executor execution path the
+north rule's N/4N criterion describes, unlike local[k] (one JVM whose
+single 48g heap made GC ~32% of the 32-thread leg's wall).  The four
+workers still share this one host's silicon: the measured pure-CPU
+ceiling for 8→32 threads here is ~0.88, and memory bandwidth is
+shared — both disappear on a real 4-node cluster.
+"""
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as fh:
+            fh.write(md)
+        print(json.dumps({"N": lo, "4N": hi, "scaling_efficiency": round(eff, 3)}))
+    finally:
+        for d in daemons:
+            d.terminate()
+
+
+if __name__ == "__main__":
+    main()
