@@ -65,6 +65,7 @@ def _one_level(
     max_iterations: int,
     level: int,
     metrics: list[dict],
+    check_interval: int = 1,
 ) -> tuple[DataFrame, int, bool, int]:
     """One move phase over ``edges (src, dst, weight)`` /
     ``vertices (id)``; returns (communities, iterations, converged,
@@ -87,6 +88,8 @@ def _one_level(
     cache.track(comm)
     did_converge = False
     total_moved = 0
+    k_check = max(1, int(check_interval))
+    pending: list[DataFrame] = []
     it = 0
     while it < max_iterations:
         it += 1
@@ -146,31 +149,43 @@ def _one_level(
             )
         )
         moved = truncate_lineage(moved, eager=False)
-        stats = moved.agg(
-            F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("moved"),
-            F.sum(F.when(F.col("wants"), 1).otherwise(0)).alias("wants"),
-        ).first()
-        changed, want_move = int(stats["moved"] or 0), int(stats["wants"] or 0)
-        total_moved += changed
-        cache.track(moved)  # retire the previous iteration's cached communities
-        metrics.append(
-            {
-                "algorithm": "louvain",
-                "level": level,
-                "iteration": it,
-                "moved": changed,
-                "want_move": want_move,
-                "wall_ms": int(1000 * (time.time() - t0)),
-            }
-        )
+        pending.append(moved)
         comm = moved.select("id", "community")
-        if want_move == 0:
-            # true fixpoint: no vertex has a positive-gain move left
-            did_converge = True
-            break
+        if it % k_check == 0 or it >= max_iterations:
+            # batch boundary: materialize (caching every pending lazy
+            # level during this job), adopt the batch, retire the
+            # previous one.  Supersteps past the fixpoint are no-ops
+            # (nobody wants to move), so checking every k supersteps
+            # only delays detection by <k no-op iterations — the
+            # unrolled driver oracle is invariant to that by design.
+            stats = moved.agg(
+                F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("moved"),
+                F.sum(F.when(F.col("wants"), 1).otherwise(0)).alias("wants"),
+            ).first()
+            changed, want_move = int(stats["moved"] or 0), int(stats["wants"] or 0)
+            total_moved += changed
+            cache.track(*pending)
+            pending = []
+            metrics.append(
+                {
+                    "algorithm": "louvain",
+                    "level": level,
+                    "iteration": it,
+                    "moved": changed,
+                    "want_move": want_move,
+                    "wall_ms": int(1000 * (time.time() - t0)),
+                }
+            )
+            if want_move == 0:
+                # true fixpoint: no vertex has a positive-gain move left
+                did_converge = True
+                break
 
     edges.unpersist()
     verts.unpersist()
+    # total_moved counts batch-boundary supersteps only when
+    # check_interval > 1; the level loop uses an exact identity test
+    # instead of this for its early exit
     return comm, it, did_converge, total_moved
 
 
@@ -180,6 +195,7 @@ def louvain(
     weighted: bool = False,
     compute_community_count: bool = False,
     levels: int = 1,
+    check_interval: int = 1,
 ) -> LouvainResult:
     """``graph`` is used as-is — pass an undirected (both-direction)
     graph for reference semantics (its loader uses
@@ -188,9 +204,16 @@ def louvain(
     ``levels``: number of coarsening levels (default 1 = reference
     parity).  Each extra level contracts communities to super-nodes
     (weights summed, intra edges as self-loops — 2m invariant) and
-    reruns the move phase; stops early when a level moves nothing
-    (contraction is then the identity, and the restarted deterministic
-    schedule would replay the same non-moves)."""
+    reruns the move phase; stops early when a level's final communities
+    are the identity (contraction would be a no-op, and the restarted
+    deterministic schedule would replay the same non-moves).
+
+    ``check_interval``: run the materializing moved/wants aggregate
+    every k supersteps instead of every superstep (one driver job per
+    k lazily-checkpointed levels).  Fixpoint supersteps are no-ops, so
+    detection is delayed by < k no-op iterations; community
+    assignments are identical and the unrolled driver oracle (which
+    always replays ``max_iterations``) is invariant to it."""
     spark = graph.spark
     wexpr = (
         F.col("weight").cast("double")
@@ -206,8 +229,8 @@ def louvain(
     did_converge = True
     levels_ran = 0
     for level in range(1, max(1, int(levels)) + 1):
-        comm, iters, conv, moved = _one_level(
-            spark, edges, vertices, max_iterations, level, metrics
+        comm, iters, conv, _moved = _one_level(
+            spark, edges, vertices, max_iterations, level, metrics, check_interval
         )
         levels_ran = level
         total_iters += iters
@@ -228,7 +251,11 @@ def louvain(
             )
             assignment = truncate_lineage(assignment)
         if level < max(1, int(levels)):
-            if moved == 0:
+            # exact "did anything merge" test (batch-boundary move
+            # counts undercount with check_interval > 1): identity
+            # communities ⇒ contraction is a no-op and the restarted
+            # schedule would replay the same non-moves — stop.
+            if comm.filter(F.col("id") != F.col("community")).limit(1).count() == 0:
                 break
             cmap = comm
             edges = (

@@ -41,6 +41,20 @@ def test_louvain_two_cliques(spark):
     assert len({comm[i] for i in (4, 5, 6, 7)}) == 1
 
 
+def test_louvain_batched_check_interval(spark):
+    """check_interval=k: the moved/wants aggregate runs at batch
+    boundaries only; assignments are identical (fixpoint supersteps
+    are no-ops) and convergence detection is delayed by < k."""
+    g = Graph.from_edge_list(spark, LOUVAIN_EDGES, vertices=range(9)).undirected()
+    exact = louvain(g, max_iterations=20)
+    batched = louvain(g, max_iterations=20, check_interval=4)
+    ce = {r["id"]: r["community"] for r in exact.communities.collect()}
+    cb = {r["id"]: r["community"] for r in batched.communities.collect()}
+    assert ce == cb
+    assert batched.did_converge
+    assert exact.iterations_ran <= batched.iterations_ran < exact.iterations_ran + 4
+
+
 def test_louvain_multilevel_improves_cycle(spark):
     """Multi-level (coarsening) mode: on a long cycle, single-level
     Louvain gets stuck at small segments; contracting and rerunning
