@@ -142,3 +142,26 @@ def test_core_numbers_match_networkx_random(spark, edges):
     G.add_nodes_from(range(N_VERTS))
     G.add_edges_from(edges)
     assert got == nx.core_number(G), edges
+
+
+def test_louvain_multilevel_deterministic_across_parallelism(spark):
+    """Multi-level Louvain must produce identical assignments no matter
+    the shuffle-partition count — determinism is what makes the
+    unrolled SQL oracle possible, and any partition-order sensitivity
+    (argmax ties, md5 schedule) would break here first."""
+    from neo4j_graph_algorithms_spark.operators.louvain import louvain
+
+    G = nx.gnm_random_graph(120, 300, seed=7)
+    g = Graph.from_edge_list(spark, list(G.edges()), vertices=G.nodes).undirected()
+    prev = None
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_part in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            res = louvain(g, max_iterations=8, levels=2, check_interval=4)
+            got = {r["id"]: r["community"] for r in res.communities.collect()}
+            if prev is not None:
+                assert got == prev
+            prev = got
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
