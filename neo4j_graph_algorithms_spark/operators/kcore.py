@@ -37,12 +37,22 @@ class KCoreResult:
     rounds: int
 
 
-def k_core(graph: Graph, k: int, max_rounds: int = 10_000) -> KCoreResult:
-    """Vertices/edges of the k-core of the undirected view."""
+def k_core(
+    graph: Graph, k: int, max_rounds: int = 10_000, check_interval: int = 1
+) -> KCoreResult:
+    """Vertices/edges of the k-core of the undirected view.
+
+    ``check_interval``: run the materializing edge-count (the fixpoint
+    test) every c rounds over lazily-checkpointed levels — peeling past
+    the fixpoint is a no-op (every surviving vertex already has
+    degree ≥ k), so the subgraph is identical and ``rounds`` may
+    overshoot by < c."""
     und = truncate_lineage(graph.canonical_undirected_edges().select("src", "dst"))
     cache = SuperstepCache(graph.spark)
     cache.track(und)
     n_edges = und.count()
+    k_check = max(1, int(check_interval))
+    pending: list[DataFrame] = []
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
@@ -60,12 +70,15 @@ def k_core(graph: Graph, k: int, max_rounds: int = 10_000) -> KCoreResult:
             .join(keep.withColumnRenamed("id", "dst").hint("SHUFFLE_HASH"), "dst", "left_semi")
         )
         nxt = truncate_lineage(nxt, eager=False)
-        after = nxt.count()
-        cache.track(nxt)
+        pending.append(nxt)
         und = nxt
-        if after == n_edges:
-            break
-        n_edges = after
+        if rounds % k_check == 0 or rounds >= max_rounds:
+            after = nxt.count()
+            cache.track(*pending)
+            pending = []
+            if after == n_edges:
+                break
+            n_edges = after
     verts = und.select(F.col("src").alias("id")).union(
         und.select(F.col("dst").alias("id"))
     ).distinct()
@@ -79,9 +92,17 @@ class CoreNumbersResult:
     metrics: list[dict] = field(default_factory=list)
 
 
-def core_numbers(graph: Graph, max_iterations: int = 10_000) -> CoreNumbersResult:
+def core_numbers(
+    graph: Graph, max_iterations: int = 10_000, check_interval: int = 1
+) -> CoreNumbersResult:
     """``(id, core)`` — coreness of every vertex of the undirected view
-    (isolated vertices get 0)."""
+    (isolated vertices get 0).
+
+    ``check_interval``: materialize the changed-count every c
+    iterations (h-operator past the fixpoint is a no-op — estimates
+    are monotone non-increasing and stationary at the core number), so
+    results are identical and ``iterations_ran`` may overshoot by
+    < c."""
     und = truncate_lineage(graph.canonical_undirected_edges().select("src", "dst"))
     inc = truncate_lineage(
         und.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).union(
@@ -93,6 +114,8 @@ def core_numbers(graph: Graph, max_iterations: int = 10_000) -> CoreNumbersResul
     est = truncate_lineage(est)
     cache.track(est, inc, und)
     it = 0
+    k_check = max(1, int(check_interval))
+    pending: list[DataFrame] = []
     w = Window.partitionBy("id").orderBy(F.desc("nbr_est"))
     while it < max_iterations:
         it += 1
@@ -113,11 +136,17 @@ def core_numbers(graph: Graph, max_iterations: int = 10_000) -> CoreNumbersResul
             (F.least(F.col("est"), F.coalesce(F.col("h"), F.lit(0))) < F.col("est")).alias("ch"),
         )
         nxt = truncate_lineage(nxt, eager=False)
-        changed = nxt.filter(F.col("ch")).count()
-        cache.track(nxt, inc, und)
+        pending.append(nxt)
         est = nxt.select("id", "est")
-        if changed == 0:
-            break
+        if it % k_check == 0 or it >= max_iterations:
+            # the ch flag is per-iteration; a no-change iteration is
+            # absorbing for the h-operator (est stationary thereafter),
+            # so "last iteration of the batch unchanged" ⟺ fixpoint
+            changed = nxt.filter(F.col("ch")).count()
+            cache.track(*pending, inc, und)
+            pending = []
+            if changed == 0:
+                break
     core = graph.vertices.select("id").join(est.hint("SHUFFLE_HASH"), "id", "left").select(
         "id", F.coalesce("est", F.lit(0)).cast("long").alias("core")
     )

@@ -380,6 +380,24 @@ def test_k_core_subgraph_matches_networkx(spark):
         assert got_v == want, k
 
 
+def test_kcore_batched_check_interval(spark):
+    """check_interval batches the fixpoint test for both peeling and
+    the h-operator; no-op rounds past the fixpoint leave the results
+    identical (peeling is monotone; a no-change h-step is absorbing)."""
+    from neo4j_graph_algorithms_spark.operators import core_numbers, k_core
+
+    g = Graph.from_edge_list(spark, KCORE_EDGES, vertices=range(10))
+    e = core_numbers(g)
+    b = core_numbers(g, check_interval=4)
+    assert {r["id"]: r["core"] for r in e.core.collect()} == {
+        r["id"]: r["core"] for r in b.core.collect()
+    }
+    assert e.iterations_ran <= b.iterations_ran < e.iterations_ran + 4
+    ek = {r["id"] for r in k_core(g, 3).vertices.collect()}
+    bk = {r["id"] for r in k_core(g, 3, check_interval=4).vertices.collect()}
+    assert ek == bk
+
+
 def test_random_walks_deterministic_and_valid(spark):
     from neo4j_graph_algorithms_spark.operators import random_walks
 
