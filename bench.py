@@ -46,6 +46,14 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
 
+    # Warmup (BASELINE.md protocol: "warmup before timing") — one small
+    # untimed iterative query so JVM/codegen/parquet-reader init isn't
+    # billed to whichever timed query happens to run first (measured:
+    # the first query otherwise pays 2-10x its warm cost).
+    t0 = time.time()
+    dq.QUERIES["pagerank_cs"](spark, sf_dir).count()
+    print(f"# warmup (untimed): {round(time.time() - t0, 1)}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
@@ -89,6 +97,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "warmup": True,  # untimed warmup query ran first (see above)
         "pagerank_north": north,
     }
     print(json.dumps(out))

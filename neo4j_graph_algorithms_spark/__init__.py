@@ -12,6 +12,8 @@ from .graph import Graph
 from .session import get_spark
 from .operators import (
     pagerank,
+    article_rank,
+    eigenvector_centrality,
     wcc,
     label_propagation,
     triangle_count,
@@ -25,6 +27,8 @@ __all__ = [
     "Graph",
     "get_spark",
     "pagerank",
+    "article_rank",
+    "eigenvector_centrality",
     "wcc",
     "label_propagation",
     "triangle_count",

@@ -36,6 +36,11 @@ _PROCEDURES = [
     # (name, kind, module.callable)
     ("algo.pageRank", "algorithm", "operators.pagerank.pagerank"),
     ("algo.pageRank.stream", "algorithm", "operators.pagerank.pagerank"),
+    # beyond-reference GDS-era power-iteration variants
+    ("algo.articleRank", "algorithm", "operators.pagerank.article_rank"),
+    ("algo.articleRank.stream", "algorithm", "operators.pagerank.article_rank"),
+    ("algo.eigenvector", "algorithm", "operators.eigenvector.eigenvector_centrality"),
+    ("algo.eigenvector.stream", "algorithm", "operators.eigenvector.eigenvector_centrality"),
     # the reference's unionFind parallel variants (queue / forkJoin /
     # forkJoinMerge, UnionFindProc2/3/4.java) differ only in thread
     # scheduling and produce the same partition — here scheduling is

@@ -1,4 +1,5 @@
-from .pagerank import pagerank
+from .pagerank import pagerank, article_rank
+from .eigenvector import eigenvector_centrality
 from .wcc import wcc
 from .labelprop import label_propagation
 from .triangles import triangle_count, triangle_stream, clustering_coefficients
@@ -19,6 +20,8 @@ from .walks import random_walks
 
 __all__ = [
     "pagerank",
+    "article_rank",
+    "eigenvector_centrality",
     "wcc",
     "label_propagation",
     "triangle_count",

@@ -190,6 +190,57 @@ def pagerank(
         )
 
 
+def article_rank(
+    graph: Graph,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tolerance: float | None = None,
+    storage: str = "edges",
+    hub_degree: int = 100_000,
+    aggregate_interval: int = 4,
+    tolerance_check_interval: int = 1,
+    adaptive: bool = False,
+) -> PageRankResult:
+    """ArticleRank (beyond-reference; GDS-era surface) — the PageRank
+    recurrence with the push divisor ``outdeg(u) + avg_outdeg`` instead
+    of ``outdeg(u)``, damping low-out-degree nodes' influence:
+
+        AR_0(v)     = 1-d
+        AR_{k+1}(v) = (1-d) + d·Σ_{(u,v)∈E} AR_k(u) / (outdeg(u) + ō)
+
+    with ``ō = Σ outdeg / |{u: outdeg(u)>0}|`` (exact integer sum and
+    count, divided once in float64 — engine and SQL oracle compute the
+    identical double).  The recurrence is linear, so the same delta-push
+    superstep loop applies unchanged — one scatter join + one gather
+    exchange per superstep, SHJ-hinted, lazily checkpointed (module
+    header).  Same result/stats surface as :func:`pagerank`."""
+    row = (
+        graph.edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum("d").alias("s"), F.count(F.lit(1)).alias("n"))
+        .first()
+    )
+    offset = float(row["s"]) / float(row["n"]) if row["n"] else 0.0
+    with aqe_suspended(graph.spark, enabled=adaptive):
+        return _run(
+            graph,
+            damping,
+            max_iterations,
+            tolerance,
+            None,
+            1,
+            None,
+            False,
+            storage,
+            hub_degree,
+            aggregate_interval,
+            False,
+            None,
+            tolerance_check_interval,
+            outdeg_offset=offset,
+        )
+
+
 def _run(
     graph: Graph,
     damping: float,
@@ -205,6 +256,7 @@ def _run(
     weighted: bool = False,
     source_nodes: list[int] | None = None,
     tolerance_check_interval: int = 1,
+    outdeg_offset: float = 0.0,
 ) -> PageRankResult:
     spark = graph.spark
     t_load0 = time.time()
@@ -308,20 +360,30 @@ def _run(
             # Per-plan hint, so no session-conf races (ADVICE r1).
             frontier = frontier.hint("SHUFFLE_HASH")
         if storage == "adjacency":
+            denom = (
+                F.col("degree") + F.lit(outdeg_offset)
+                if outdeg_offset
+                else F.col("degree")
+            )
             msgs = (
                 edges.join(frontier, "src")
                 .select(
                     F.explode("dsts").alias("dst"),
-                    (F.col("delta") / F.col("degree")).alias("contrib"),
+                    (F.col("delta") / denom).alias("contrib"),
                 )
                 .groupBy("dst")
                 .agg(F.sum("contrib").alias("msg"))
             )
         else:
+            denom = (
+                F.col("outdeg") + F.lit(outdeg_offset)
+                if outdeg_offset
+                else F.col("outdeg")
+            )
             contrib = (
                 F.col("delta") * F.col("share")
                 if weighted
-                else F.col("delta") / F.col("outdeg")
+                else F.col("delta") / denom
             )
             msgs = (
                 edges.join(frontier, "src")
