@@ -165,3 +165,66 @@ def test_louvain_multilevel_deterministic_across_parallelism(spark):
             prev = got
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+@given(edges=edge_strategy)
+@SETTINGS
+def test_eigenvector_matches_power_iteration_random(spark, edges):
+    """Engine vs a direct python evaluation of the documented
+    batched-normalization power iteration (operators/eigenvector.py)."""
+    from neo4j_graph_algorithms_spark import eigenvector_centrality
+
+    g = Graph.from_edge_list(spark, edges, vertices=range(N_VERTS))
+    iters, interval = 6, 3
+    got = {
+        r["id"]: r["score"]
+        for r in eigenvector_centrality(
+            g, max_iterations=iters, check_interval=interval
+        ).scores.collect()
+    }
+    x = {v: 1.0 for v in range(N_VERTS)}
+    for k in range(1, iters + 1):
+        y = {v: 0.0 for v in range(N_VERTS)}
+        for s, t in edges:
+            y[t] += x[s]
+        if k % interval == 0 or k == iters:
+            nrm = sum(s * s for s in y.values()) ** 0.5
+            y = {v: (s / nrm if nrm > 0 else 0.0) for v, s in y.items()}
+        x = y
+    for v in range(N_VERTS):
+        assert got[v] == pytest.approx(x[v], abs=1e-9), (edges, v)
+
+
+@given(edges=edge_strategy)
+@SETTINGS
+def test_article_rank_matches_recurrence_random(spark, edges):
+    """Engine vs a direct python evaluation of the documented
+    ArticleRank recurrence (push divisor outdeg + avg_outdeg)."""
+    from neo4j_graph_algorithms_spark import article_rank
+
+    g = Graph.from_edge_list(spark, edges, vertices=range(N_VERTS))
+    iters = 5
+    got = {
+        r["id"]: r["score"]
+        for r in article_rank(g, max_iterations=iters).scores.collect()
+    }
+    out = {v: [] for v in range(N_VERTS)}
+    for s, t in edges:
+        out[s].append(t)
+    srcs = [v for v in range(N_VERTS) if out[v]]
+    off = sum(len(out[v]) for v in srcs) / len(srcs)
+    rank = {v: 0.15 for v in range(N_VERTS)}
+    delta = dict(rank)
+    for _ in range(iters):
+        recv = {v: 0.0 for v in range(N_VERTS)}
+        for s in srcs:
+            if delta[s] != 0.0:
+                c = delta[s] / (len(out[s]) + off)
+                for t in out[s]:
+                    recv[t] += c
+        for v in range(N_VERTS):
+            inc = 0.85 * recv[v]
+            rank[v] += inc
+            delta[v] = inc
+    for v in range(N_VERTS):
+        assert got[v] == pytest.approx(rank[v], abs=1e-9), (edges, v)
