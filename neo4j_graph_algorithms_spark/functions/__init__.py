@@ -41,6 +41,8 @@ _PROCEDURES = [
     ("algo.articleRank.stream", "algorithm", "operators.pagerank.article_rank"),
     ("algo.eigenvector", "algorithm", "operators.eigenvector.eigenvector_centrality"),
     ("algo.eigenvector.stream", "algorithm", "operators.eigenvector.eigenvector_centrality"),
+    ("algo.hits", "algorithm", "operators.hits.hits"),
+    ("algo.hits.stream", "algorithm", "operators.hits.hits"),
     # the reference's unionFind parallel variants (queue / forkJoin /
     # forkJoinMerge, UnionFindProc2/3/4.java) differ only in thread
     # scheduling and produce the same partition — here scheduling is

@@ -1,5 +1,6 @@
 from .pagerank import pagerank, article_rank
 from .eigenvector import eigenvector_centrality
+from .hits import hits
 from .wcc import wcc
 from .labelprop import label_propagation
 from .triangles import triangle_count, triangle_stream, clustering_coefficients
@@ -22,6 +23,7 @@ __all__ = [
     "pagerank",
     "article_rank",
     "eigenvector_centrality",
+    "hits",
     "wcc",
     "label_propagation",
     "triangle_count",

@@ -123,3 +123,46 @@ def test_article_rank_dampens_hubs_vs_pagerank(spark):
     ar = {r["id"]: r["score"] for r in article_rank(g, max_iterations=20).scores.collect()}
     # vertex 1 (outdeg 1) contributes full rank under PR, under half under AR
     assert ar[0] < pr[0]
+
+
+def _hits_twin(iters: int, interval: int):
+    a_mat = _adj()
+    h = np.ones(N)
+    a = np.ones(N)
+    for k in range(1, iters + 1):
+        a = a_mat.T @ h
+        h = a_mat @ a
+        if k % interval == 0 or k == iters:
+            an = np.sqrt((a * a).sum())
+            hn = np.sqrt((h * h).sum())
+            a = a / an if an > 0 else a * 0
+            h = h / hn if hn > 0 else h * 0
+    return h, a
+
+
+@pytest.mark.parametrize("iters,interval", [(8, 4), (5, 2), (3, 1)])
+def test_hits_matches_numpy(spark, graph, iters, interval):
+    from neo4j_graph_algorithms_spark.operators import hits
+
+    res = hits(graph, max_iterations=iters, check_interval=interval)
+    got = {r["id"]: (r["hub"], r["authority"]) for r in res.scores.collect()}
+    h, a = _hits_twin(iters, interval)
+    assert res.iterations_ran == iters
+    for i in range(N):
+        assert got[i][0] == pytest.approx(h[i], abs=1e-9), ("hub", i)
+        assert got[i][1] == pytest.approx(a[i], abs=1e-9), ("authority", i)
+
+
+def test_hits_bipartite_roles(spark):
+    """On a directed bipartite graph, sources are pure hubs (authority
+    0) and sinks pure authorities (hub 0)."""
+    from neo4j_graph_algorithms_spark.operators import hits
+
+    edges = [(0, 10), (0, 11), (1, 10), (2, 11), (2, 12)]
+    g = Graph.from_edges(spark.createDataFrame(edges, "src long, dst long"))
+    res = hits(g, max_iterations=8, check_interval=4)
+    got = {r["id"]: (r["hub"], r["authority"]) for r in res.scores.collect()}
+    for s in (0, 1, 2):
+        assert got[s][0] > 0 and got[s][1] == 0.0, s
+    for t in (10, 11, 12):
+        assert got[t][0] == 0.0 and got[t][1] > 0, t
