@@ -43,6 +43,8 @@ _PROCEDURES = [
     ("algo.eigenvector.stream", "algorithm", "operators.eigenvector.eigenvector_centrality"),
     ("algo.hits", "algorithm", "operators.hits.hits"),
     ("algo.hits.stream", "algorithm", "operators.hits.hits"),
+    ("algo.degree", "algorithm", "graph.Graph.out_degrees"),
+    ("algo.degree.stream", "algorithm", "graph.Graph.out_degrees"),
     # the reference's unionFind parallel variants (queue / forkJoin /
     # forkJoinMerge, UnionFindProc2/3/4.java) differ only in thread
     # scheduling and produce the same partition — here scheduling is

@@ -166,3 +166,23 @@ def test_hits_bipartite_roles(spark):
         assert got[s][0] > 0 and got[s][1] == 0.0, s
     for t in (10, 11, 12):
         assert got[t][0] == 0.0 and got[t][1] > 0, t
+
+
+def test_eigenvector_weighted_matches_numpy(spark):
+    wedges = [(0, 1, 2.0), (1, 2, 0.5), (2, 0, 3.0), (0, 2, 1.5), (3, 0, 1.0)]
+    g = Graph.from_edge_list(spark, wedges, vertices=range(4))
+    res = eigenvector_centrality(
+        g, max_iterations=12, check_interval=4, weighted=True
+    )
+    got = {r["id"]: r["score"] for r in res.scores.collect()}
+    w = np.zeros((4, 4))
+    for s, d, wt in wedges:
+        w[s, d] = wt
+    x = np.ones(4)
+    for k in range(1, 13):
+        x = w.T @ x
+        if k % 4 == 0 or k == 12:
+            nrm = np.sqrt((x * x).sum())
+            x = x / nrm if nrm > 0 else x * 0
+    for i in range(4):
+        assert got[i] == pytest.approx(x[i], abs=1e-9), i
