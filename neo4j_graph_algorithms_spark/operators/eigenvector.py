@@ -53,7 +53,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import SuperstepCache, aqe_suspended, truncate_lineage
+from ..plans.checkpoint import (
+    SuperstepCache,
+    SuperstepCheckpointer,
+    aqe_suspended,
+    truncate_lineage,
+)
 
 
 @dataclass
@@ -77,13 +82,20 @@ def eigenvector_centrality(
     check_interval: int = 4,
     weighted: bool = False,
     adaptive: bool = False,
+    checkpointer: SuperstepCheckpointer | None = None,
 ) -> EigenvectorResult:
     """Power-iteration eigenvector centrality (module header for the
     exact recurrence, normalization schedule, and plan shape).
     ``weighted=True`` multiplies each pushed score by the edge weight
-    (requires a weighted graph)."""
+    (requires a weighted graph).  With a ``checkpointer`` the
+    normalized state of every superstep lands in the durable store and
+    a rerun resumes from the last committed iteration; durable mode
+    forces ``check_interval=1`` (each boundary is a commit point), same
+    as PageRank's checkpointer semantics."""
     with aqe_suspended(graph.spark, enabled=adaptive):
-        return _run(graph, max_iterations, tolerance, check_interval, weighted)
+        return _run(
+            graph, max_iterations, tolerance, check_interval, weighted, checkpointer
+        )
 
 
 def _run(
@@ -92,6 +104,7 @@ def _run(
     tolerance: float | None,
     check_interval: int,
     weighted: bool,
+    checkpointer: SuperstepCheckpointer | None = None,
 ) -> EigenvectorResult:
     spark = graph.spark
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -100,16 +113,27 @@ def _run(
     edges = graph.edges.select(*cols).repartition(n_part, "src").persist()
     edges.count()  # materialize once; reused every superstep
 
-    state = graph.vertices.select(F.col("id"), F.lit(1.0).alias("score"))
     cache = SuperstepCache(spark)
+    metrics: list[dict] = []
+    it = 0
+    state = None
+    prev_boundary: DataFrame | None = None  # last normalized boundary state
+    if checkpointer is not None:
+        last = checkpointer.latest_iteration()
+        if last is not None:
+            state = checkpointer.load(last, ["state"])["state"]
+            it = last
+            metrics = checkpointer.metrics()
+    if state is None:
+        state = graph.vertices.select(F.col("id"), F.lit(1.0).alias("score"))
     state = truncate_lineage(state.repartition(n_part, "id"))  # eager
     cache.track(state)
+    if it > 0:
+        prev_boundary = state
 
-    interval = max(1, int(check_interval))
-    metrics: list[dict] = []
+    # durable mode commits per superstep (each boundary is a commit)
+    interval = 1 if checkpointer is not None else max(1, int(check_interval))
     converged = False
-    it = 0
-    prev_boundary: DataFrame | None = None  # last normalized boundary state
     pending: list[DataFrame] = []
     while it < max_iterations:
         it += 1
@@ -147,7 +171,6 @@ def _run(
                 if nrm > 0.0
                 else F.lit(0.0).alias("score"),
             )
-            normalized = truncate_lineage(normalized, eager=False)
             iter_metrics: dict = {
                 "algorithm": "eigenvector",
                 "norm": nrm,
@@ -165,13 +188,25 @@ def _run(
                     .first()
                 )
                 iter_metrics["max_delta"] = float(delta["max_delta"] or 0.0)
-            # batch materialized: adopt every level, retire the previous
-            # batch's checkpoints.  `normalized` itself is adopted at the
-            # NEXT boundary — its parent y stays cached until then (it is
-            # in the batch adopted here), so the lazy projection always
-            # computes from cache before its parent can be retired.
-            cache.track(*pending)
-            pending = [normalized]
+            if checkpointer is not None:
+                # durable commit: parquet round-trip IS the lineage cut;
+                # the save materializes this superstep, so the previous
+                # one can be retired
+                normalized = checkpointer.save(
+                    it, {"state": normalized}, iter_metrics
+                )["state"]
+                cache.track(*pending)
+                pending = []
+            else:
+                normalized = truncate_lineage(normalized, eager=False)
+                # batch materialized: adopt every level, retire the
+                # previous batch's checkpoints.  `normalized` itself is
+                # adopted at the NEXT boundary — its parent y stays
+                # cached until then (it is in the batch adopted here),
+                # so the lazy projection always computes from cache
+                # before its parent can be retired.
+                cache.track(*pending)
+                pending = [normalized]
             metrics.append(iter_metrics)
             state = normalized
             prev_boundary = normalized

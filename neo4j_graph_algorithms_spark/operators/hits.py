@@ -46,7 +46,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import SuperstepCache, aqe_suspended, truncate_lineage
+from ..plans.checkpoint import (
+    SuperstepCache,
+    SuperstepCheckpointer,
+    aqe_suspended,
+    truncate_lineage,
+)
 
 
 @dataclass
@@ -67,14 +72,23 @@ def hits(
     max_iterations: int = 20,
     check_interval: int = 4,
     adaptive: bool = False,
+    checkpointer: SuperstepCheckpointer | None = None,
 ) -> HitsResult:
     """Hub and authority scores by alternating power iteration (module
-    header for the exact recurrence and plan shape)."""
+    header for the exact recurrence and plan shape).  With a
+    ``checkpointer`` every superstep's normalized state is committed
+    durably and a rerun resumes from the last committed iteration
+    (durable mode forces ``check_interval=1``, like PageRank)."""
     with aqe_suspended(graph.spark, enabled=adaptive):
-        return _run(graph, max_iterations, check_interval)
+        return _run(graph, max_iterations, check_interval, checkpointer)
 
 
-def _run(graph: Graph, max_iterations: int, check_interval: int) -> HitsResult:
+def _run(
+    graph: Graph,
+    max_iterations: int,
+    check_interval: int,
+    checkpointer: SuperstepCheckpointer | None = None,
+) -> HitsResult:
     spark = graph.spark
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
@@ -84,16 +98,25 @@ def _run(graph: Graph, max_iterations: int, check_interval: int) -> HitsResult:
     edges_by_src.count()
     edges_by_dst.count()
 
-    state = graph.vertices.select(
-        F.col("id"), F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
-    )
     cache = SuperstepCache(spark)
+    metrics: list[dict] = []
+    it = 0
+    state = None
+    if checkpointer is not None:
+        last = checkpointer.latest_iteration()
+        if last is not None:
+            state = checkpointer.load(last, ["state"])["state"]
+            it = last
+            metrics = checkpointer.metrics()
+    if state is None:
+        state = graph.vertices.select(
+            F.col("id"), F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+        )
     state = truncate_lineage(state.repartition(n_part, "id"))  # eager
     cache.track(state)
 
-    interval = max(1, int(check_interval))
-    metrics: list[dict] = []
-    it = 0
+    # durable mode commits per superstep (each boundary is a commit)
+    interval = 1 if checkpointer is not None else max(1, int(check_interval))
     pending: list[DataFrame] = []
     while it < max_iterations:
         it += 1
@@ -156,21 +179,28 @@ def _run(graph: Graph, max_iterations: int, check_interval: int) -> HitsResult:
                 if an > 0.0
                 else F.lit(0.0).alias("authority"),
             )
-            normalized = truncate_lineage(normalized, eager=False)
-            metrics.append(
-                {
-                    "algorithm": "hits",
-                    "hub_norm": hn,
-                    "authority_norm": an,
-                    "wall_ms": int(1000 * (time.time() - t0)),
-                }
-            )
-            # batch materialized by the norm agg; `normalized` (a lazy
-            # projection of the cached boundary level) is adopted at the
-            # next boundary — see eigenvector.py for the retirement
-            # invariant.
-            cache.track(*pending)
-            pending = [normalized]
+            iter_metrics = {
+                "algorithm": "hits",
+                "hub_norm": hn,
+                "authority_norm": an,
+                "wall_ms": int(1000 * (time.time() - t0)),
+            }
+            metrics.append(iter_metrics)
+            if checkpointer is not None:
+                # durable commit: parquet round-trip IS the lineage cut
+                normalized = checkpointer.save(
+                    it, {"state": normalized}, iter_metrics
+                )["state"]
+                cache.track(*pending)
+                pending = []
+            else:
+                normalized = truncate_lineage(normalized, eager=False)
+                # batch materialized by the norm agg; `normalized` (a
+                # lazy projection of the cached boundary level) is
+                # adopted at the next boundary — see eigenvector.py for
+                # the retirement invariant.
+                cache.track(*pending)
+                pending = [normalized]
             state = normalized
             if hn == 0.0 and an == 0.0:
                 break

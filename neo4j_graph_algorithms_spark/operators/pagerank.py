@@ -200,6 +200,8 @@ def article_rank(
     aggregate_interval: int = 4,
     tolerance_check_interval: int = 1,
     adaptive: bool = False,
+    checkpointer: SuperstepCheckpointer | None = None,
+    checkpoint_interval: int = 1,
 ) -> PageRankResult:
     """ArticleRank (beyond-reference; GDS-era surface) — the PageRank
     recurrence with the push divisor ``outdeg(u) + avg_outdeg`` instead
@@ -227,8 +229,8 @@ def article_rank(
             damping,
             max_iterations,
             tolerance,
-            None,
-            1,
+            checkpointer,
+            checkpoint_interval,
             None,
             False,
             storage,

@@ -89,3 +89,78 @@ def test_labelprop_resume(spark, tmp_path):
     resumed = label_propagation(g, max_iterations=4, checkpointer=ckpt2)
     got = {r["id"]: r["label"] for r in resumed.labels.collect()}
     assert got == direct
+
+
+def test_eigenvector_resume_matches_direct(spark, tmp_path):
+    from neo4j_graph_algorithms_spark import eigenvector_centrality
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0), (2, 3)]
+    g = Graph.from_edge_list(spark, edges, vertices=range(4))
+    # durable mode forces check_interval=1, so compare against a direct
+    # run at the same normalization schedule
+    direct = {
+        r["id"]: r["score"]
+        for r in eigenvector_centrality(
+            g, max_iterations=8, check_interval=1
+        ).scores.collect()
+    }
+
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path), "eigenvector", run_id="e1")
+    partial = eigenvector_centrality(g, max_iterations=4, checkpointer=ckpt)
+    assert partial.iterations_ran == 4
+    assert ckpt.latest_iteration() == 4
+
+    ckpt2 = SuperstepCheckpointer(spark, str(tmp_path), "eigenvector", run_id="e1")
+    resumed = eigenvector_centrality(g, max_iterations=8, checkpointer=ckpt2)
+    assert resumed.iterations_ran == 8
+    got = {r["id"]: r["score"] for r in resumed.scores.collect()}
+    for k in direct:
+        assert got[k] == pytest.approx(direct[k], abs=1e-12)
+
+
+def test_hits_resume_matches_direct(spark, tmp_path):
+    from neo4j_graph_algorithms_spark.operators import hits
+
+    edges = [(0, 10), (0, 11), (1, 10), (2, 11), (2, 12), (1, 12)]
+    g = Graph.from_edge_list(spark, edges)
+    direct = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in hits(g, max_iterations=6, check_interval=1).scores.collect()
+    }
+
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path), "hits", run_id="h1")
+    partial = hits(g, max_iterations=3, checkpointer=ckpt)
+    assert partial.iterations_ran == 3
+    assert ckpt.latest_iteration() == 3
+
+    ckpt2 = SuperstepCheckpointer(spark, str(tmp_path), "hits", run_id="h1")
+    resumed = hits(g, max_iterations=6, checkpointer=ckpt2)
+    assert resumed.iterations_ran == 6
+    got = {
+        r["id"]: (r["hub"], r["authority"]) for r in resumed.scores.collect()
+    }
+    for k in direct:
+        assert got[k][0] == pytest.approx(direct[k][0], abs=1e-12)
+        assert got[k][1] == pytest.approx(direct[k][1], abs=1e-12)
+
+
+def test_article_rank_resume_matches_direct(spark, tmp_path):
+    from neo4j_graph_algorithms_spark import article_rank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0), (2, 3)]
+    g = Graph.from_edge_list(spark, edges, vertices=range(4))
+    direct = {
+        r["id"]: r["score"]
+        for r in article_rank(g, max_iterations=8).scores.collect()
+    }
+
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path), "articlerank", run_id="a1")
+    partial = article_rank(g, max_iterations=4, checkpointer=ckpt)
+    assert partial.iterations_ran == 4
+
+    ckpt2 = SuperstepCheckpointer(spark, str(tmp_path), "articlerank", run_id="a1")
+    resumed = article_rank(g, max_iterations=8, checkpointer=ckpt2)
+    assert resumed.iterations_ran == 8
+    got = {r["id"]: r["score"] for r in resumed.scores.collect()}
+    for k in direct:
+        assert got[k] == pytest.approx(direct[k], abs=1e-12)
