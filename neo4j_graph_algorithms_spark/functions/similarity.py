@@ -274,3 +274,42 @@ def embedding_near_duplicates(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mutual: bool = False,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over an embedding table:
+    ``(src, dst, weight)`` edges (weight = 6-dp cosine), ready for
+    ``Graph.from_edges`` — the bridge from the similarity stack to the
+    link-graph operators (kNN graph → Louvain/WCC/labelProp is the
+    standard embedding-clustering recipe; GDS-era ``gds.knn`` shape).
+
+    Built on :func:`ivf_topk` with every point as a query, so the cost
+    is O(n · n/n_centroids · nprobe), not the O(n²) brute-force — the
+    centroid table is broadcast and the only shuffle is the per-list
+    candidate join, which is what survives at 100 TB.  Deterministic by
+    construction (same md5 centroid draw + rounded argmax), so a SQL
+    oracle replays it exactly.
+
+    ``mutual=True`` keeps only symmetric pairs (u lists v AND v lists
+    u) — the usual denoising step before community detection."""
+    top = ivf_topk(
+        df, df, k=k, n_centroids=n_centroids, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    edges = top.select(
+        F.col("query_id").alias("src"),
+        F.col("vec_id").alias("dst"),
+        F.col("sim").alias("weight"),
+    )
+    if mutual:
+        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges = edges.join(rev.hint("SHUFFLE_HASH"), ["src", "dst"])
+    return edges

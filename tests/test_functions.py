@@ -155,3 +155,29 @@ def test_ivf_topk_recall_vs_exact(spark):
     hit = sum(1 for r in part if (r["query_id"], r["vec_id"]) in exact)
     assert len(part) > 0 and hit / len(exact) > 0.3
     assert all(1 <= r["rank"] <= 5 for r in part)
+
+
+def test_knn_graph_bridges_to_graph_ops(spark):
+    """Embeddings → IVF kNN graph → WCC: two well-separated embedding
+    clusters come out as two connected components of the mutual-kNN
+    graph — the similarity→link-graph bridge end to end."""
+    from neo4j_graph_algorithms_spark import Graph, wcc
+    from neo4j_graph_algorithms_spark.functions import similarity as sim
+
+    rows = []
+    for i in range(12):  # cluster A around (1, 0, 0), cluster B around (0, 1, 0)
+        rows.append((i, [1.0, 0.01 * i, 0.0]))
+        rows.append((100 + i, [0.01 * i, 1.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    edges = sim.knn_graph(emb, k=3, n_centroids=4, nprobe=2, mutual=True)
+    rows_out = edges.collect()
+    assert rows_out, "mutual kNN graph is empty"
+    # no cross-cluster edges: cosine between the clusters is ~0.01
+    for r in rows_out:
+        assert (r["src"] < 100) == (r["dst"] < 100), (r["src"], r["dst"])
+        assert r["weight"] > 0.9
+
+    comp = wcc(Graph.from_edges(edges)).components
+    n_comp = comp.select("set_id").distinct().count()
+    assert n_comp == 2
