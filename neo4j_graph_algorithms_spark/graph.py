@@ -40,9 +40,17 @@ class Graph:
         edges: DataFrame,
         vertices: DataFrame | None = None,
         default_weight: float = 1.0,
+        src_partitioned: bool = False,
     ):
         self.spark: SparkSession = edges.sparkSession
         self.default_weight = float(default_weight)
+        # True when `edges` is already hash-clustered by src (a bucketed
+        # table from sources/graph_store.py): operators preparing a
+        # src-side layout skip their repartition — the edge-side
+        # exchange was paid once at write time.  The flag is advisory;
+        # the projection below is narrow, so Catalyst still sees the
+        # scan's HashPartitioning either way.
+        self.src_partitioned = bool(src_partitioned)
         cols = edges.columns
         if "weight" not in cols:
             edges = edges.withColumn("weight", F.lit(self.default_weight))

@@ -292,7 +292,15 @@ def _run(
             # SQL oracle, which divides too
             out_deg = graph.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
             edges = graph.edges.select("src", "dst").join(out_deg, "src").select("src", "dst", "outdeg")
-        edges = edges.repartition(n_part, "src").persist()
+        if graph.src_partitioned:
+            # bucketed edge table (sources/graph_store.py): the scan is
+            # already HashPartitioning(src, n) — the degree groupBy and
+            # join plan with zero edge-side Exchange, and the persisted
+            # layout co-partitions the superstep scatter join exactly
+            # like the explicit repartition would.
+            edges = edges.persist()
+        else:
+            edges = edges.repartition(n_part, "src").persist()
     else:
         raise ValueError(f"storage must be 'adjacency' or 'edges', got {storage!r}")
     edges.count()  # materialize once; reused every superstep

@@ -153,3 +153,60 @@ def test_read_edges_formats(spark, tmp_path):
     spark.createDataFrame([(5, 6, 9.0)], "src long, dst long, weight double").write.parquet(q)
     got4 = [tuple(r) for r in read_edges(spark, q, fmt="parquet", weight="weight").collect()]
     assert got4 == [(5, 6, 9.0)]
+
+
+def test_graph_store_bucketed_roundtrip(spark, tmp_path):
+    """save_graph → load_graph: bucketed edge scan plans the degree
+    groupBy + join with zero edge-side Exchange, and PageRank over the
+    bucketed graph is bit-identical to the plain-edges run."""
+    from pyspark.sql import functions as F
+
+    from neo4j_graph_algorithms_spark import Graph, pagerank
+    from neo4j_graph_algorithms_spark.sources.graph_store import (
+        load_graph,
+        save_graph,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 50) for i in range(200) for _ in range(1 + i % 3)],
+        "src long, dst long",
+    ).distinct()
+    g = Graph.from_edges(edges)
+    p = str(tmp_path / "gstore")
+    save_graph(g, "gstore_rt", p, buckets=8)
+    try:
+        loaded = load_graph(spark, "gstore_rt")
+        assert loaded.src_partitioned
+
+        # plan check: degree aggregation + degree join over the bucketed
+        # scan run with zero Exchange — both sides read bucket-aligned
+        # (SHUFFLE_HASH = the operators' hint; without it the tiny deg
+        # side would broadcast here, hiding the property under test)
+        deg = loaded.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        plan = (
+            loaded.edges.join(deg.hint("SHUFFLE_HASH"), "src")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+
+        base = {
+            r["id"]: r["score"]
+            for r in pagerank(g, max_iterations=10).scores.collect()
+        }
+        got = {
+            r["id"]: r["score"]
+            for r in pagerank(loaded, max_iterations=10).scores.collect()
+        }
+        assert got == base  # bit-identical, not allclose
+
+        # re-attach path: fresh catalog (external table → files survive)
+        spark.sql("DROP TABLE gstore_rt")
+        re = load_graph(spark, "gstore_rt", path=p)
+        assert re.edges.count() == g.edges.count()
+        plan2 = (
+            re.edges.groupBy("src").count()._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan2, plan2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gstore_rt")
