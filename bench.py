@@ -65,19 +65,28 @@ def main() -> None:
     # north metric (BASELINE.json): PageRank edges-processed/sec to 1e-6
     # convergence on the source-repo file graph — deterministic synthetic
     # (repo, path, commit, lang, content) table → Arrow-UDF import
-    # extraction → file→file edge DataFrame (500k files, ~2M edges).
+    # extraction → file→file edge DataFrame (5M files, ~20M edges — the
+    # BASELINE.md headline input; at 2M edges the constant driver floor
+    # dominates the metric ~8x, see BASELINE.md decomposition).
     # Generation/extraction is load, not compute: edges are materialized
-    # before the clock starts.
-    files = synthetic_repo_files(spark, n_repos=10_000, files_per_repo=50, max_imports=8)
-    edges = path_edges(files).select("src", "dst").persist()
+    # to parquet before the clock starts, and the parquet is cached
+    # across bench runs (same convention as tools/scaling_bench.py).
+    cache = "/tmp/spark_graft_north_edges_100k.parquet"
+    if not os.path.isdir(cache):
+        t0 = time.time()
+        files = synthetic_repo_files(
+            spark, n_repos=100_000, files_per_repo=50, max_imports=8
+        )
+        path_edges(files).select("src", "dst").write.mode("overwrite").parquet(cache)
+        print(f"# north input generated (untimed): {round(time.time() - t0, 1)}s",
+              file=sys.stderr)
+    edges = spark.read.parquet(cache).persist()
     n_edges = edges.count()
     g = Graph.from_edges(edges)
     # tolerance_check_interval=8: convergence tested every 8 supersteps
     # (≤7-superstep overshoot, counted honestly in the metric) — one
     # driver job per batch instead of per superstep; the standard
-    # periodic-check trade at cluster scale.  Interleaved A/B at this
-    # input: k=8 3.78/3.88M e·s/s vs k=4 3.54M (the driver-job floor
-    # dominates at 2M edges; both stop at 104 supersteps here).
+    # periodic-check trade at cluster scale.
     t0 = time.time()
     res = pagerank(g, max_iterations=200, tolerance=1e-6, tolerance_check_interval=8)
     res.scores.count()
