@@ -157,3 +157,68 @@ def test_streaming_near_dedup_minhash(spark, tmp_path):
         (r["id_a"], r["id_b"]) for r in dd.minhash_lsh_candidates(batch).collect()
     }
     assert batch_pairs == {(1, 9)}
+
+
+def test_incremental_wcc_batch_equals_full_recompute(spark):
+    """Folding edge batches incrementally must yield bit-identical
+    (id, set_id) to batch wcc over the accumulated edge set — labels
+    are min member ids in both, so equality is exact."""
+    from neo4j_graph_algorithms_spark import Graph, wcc
+    from neo4j_graph_algorithms_spark.streaming import incremental_wcc_batch
+
+    batches = [
+        [(1, 2), (3, 4), (10, 11)],          # three components
+        [(2, 3), (20, 21)],                  # merge {1,2}+{3,4}, new comp
+        [(11, 20), (4, 10)],                 # merge everything but nothing new
+        [(30, 31)],                          # disjoint again
+    ]
+    comp = None
+    seen = []
+    for b in batches:
+        seen += b
+        df = spark.createDataFrame(b, "src long, dst long")
+        comp = incremental_wcc_batch(comp, df)
+        full = wcc(Graph.from_edge_list(spark, seen)).components
+        inc = {(r["id"], r["set_id"]) for r in comp.collect()}
+        ref = {(r["id"], r["set_id"]) for r in full.select("id", "set_id").collect()}
+        assert inc == ref, (sorted(inc), sorted(ref))
+
+
+def test_streaming_incremental_wcc(spark, tmp_path):
+    """End-to-end over a file-source stream: components table converges
+    to the batch answer as files arrive, surviving across micro-batches
+    via the versioned parquet state."""
+    from neo4j_graph_algorithms_spark import Graph, wcc
+    from neo4j_graph_algorithms_spark.streaming import (
+        IncrementalWccSink,
+        streaming_incremental_wcc,
+    )
+
+    src_dir = tmp_path / "edges_in"
+    src_dir.mkdir()
+    state = str(tmp_path / "wcc_state")
+    ckpt = str(tmp_path / "wcc_ckpt")
+
+    b1 = [(1, 2), (3, 4)]
+    spark.createDataFrame(b1, "src long, dst long").write.parquet(
+        str(src_dir / "b1.parquet")
+    )
+    stream = spark.readStream.schema("src long, dst long").parquet(
+        str(src_dir) + "/*"
+    )
+    q = streaming_incremental_wcc(stream, state, ckpt)
+    try:
+        q.processAllAvailable()
+        b2 = [(2, 3), (5, 6)]
+        spark.createDataFrame(b2, "src long, dst long").write.parquet(
+            str(src_dir / "b2.parquet")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    comp = IncrementalWccSink(spark, state).components()
+    got = {(r["id"], r["set_id"]) for r in comp.collect()}
+    full = wcc(Graph.from_edge_list(spark, b1 + b2)).components
+    ref = {(r["id"], r["set_id"]) for r in full.select("id", "set_id").collect()}
+    assert got == ref, (sorted(got), sorted(ref))
