@@ -110,7 +110,10 @@ def _run(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     cols = ["src", "dst"] + (["weight"] if weighted else [])
-    edges = graph.edges.select(*cols).repartition(n_part, "src").persist()
+    edges = graph.edges.select(*cols)
+    if not graph.src_partitioned:  # bucketed store: shuffle paid at write time
+        edges = edges.repartition(n_part, "src")
+    edges = edges.persist()
     edges.count()  # materialize once; reused every superstep
 
     cache = SuperstepCache(spark)

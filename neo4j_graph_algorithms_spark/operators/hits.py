@@ -93,7 +93,10 @@ def _run(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     e = graph.edges.select("src", "dst")
-    edges_by_src = e.repartition(n_part, "src").persist()
+    if graph.src_partitioned:  # bucketed store: src copy needs no shuffle
+        edges_by_src = e.persist()
+    else:
+        edges_by_src = e.repartition(n_part, "src").persist()
     edges_by_dst = e.repartition(n_part, "dst").persist()
     edges_by_src.count()
     edges_by_dst.count()

@@ -200,6 +200,18 @@ def test_graph_store_bucketed_roundtrip(spark, tmp_path):
         }
         assert got == base  # bit-identical, not allclose
 
+        # operators with their own src-side layouts skip the repartition
+        # too — still bit-identical over the bucketed graph
+        from neo4j_graph_algorithms_spark import eigenvector_centrality
+        from neo4j_graph_algorithms_spark.operators.hits import hits
+
+        ev_b = {r["id"]: r["score"] for r in eigenvector_centrality(g, max_iterations=5).scores.collect()}
+        ev_l = {r["id"]: r["score"] for r in eigenvector_centrality(loaded, max_iterations=5).scores.collect()}
+        assert ev_l == ev_b
+        h_b = {r["id"]: (r["hub"], r["authority"]) for r in hits(g, max_iterations=3).scores.collect()}
+        h_l = {r["id"]: (r["hub"], r["authority"]) for r in hits(loaded, max_iterations=3).scores.collect()}
+        assert h_l == h_b
+
         # re-attach path: fresh catalog (external table → files survive)
         spark.sql("DROP TABLE gstore_rt")
         re = load_graph(spark, "gstore_rt", path=p)
