@@ -10,6 +10,7 @@ citations in each module.
 
 from .graph import Graph
 from .session import get_spark
+from .functions import algo_list, call
 from .operators import (
     pagerank,
     article_rank,
@@ -26,6 +27,8 @@ __version__ = "0.1.0"
 __all__ = [
     "Graph",
     "get_spark",
+    "algo_list",
+    "call",
     "pagerank",
     "article_rank",
     "eigenvector_centrality",

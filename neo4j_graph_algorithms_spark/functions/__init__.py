@@ -125,3 +125,112 @@ def algo_list(spark: SparkSession, query: str | None = None) -> DataFrame:
 
 def register_procedure(name: str, kind: str, impl: str) -> None:
     _PROCEDURES.append((name, kind, impl))
+
+
+# --------------------------------------------------------------------- #
+# call — runnable `CALL algo.*` dispatch (migration entry point)
+# --------------------------------------------------------------------- #
+# Reference config keys (the `{...}` map of every proc, e.g.
+# PageRankProc.java:69, UnionFindProc.java:53) → engine kwargs.  Keys
+# already matching an engine parameter name pass through unaliased.
+_CONFIG_ALIASES = {
+    "iterations": "max_iterations",
+    "maxIterations": "max_iterations",
+    "dampingFactor": "damping",
+    "maxDepth": "max_depth",
+    "startNode": "start_node",
+    "endNode": "end_node",
+    "sourceNodes": "source_nodes",
+    "walkLength": "walk_length",
+    "walksPerNode": "walks_per_node",
+    "similarityCutoff": "threshold",
+    "checkInterval": "check_interval",
+}
+
+# Reference execution/write knobs with no meaning here: thread-pool
+# sizing is Spark's job (SURVEY.md §4), and write-back is an explicit
+# step (`sources/writeback.py`) rather than a config side effect — the
+# non-stream result objects expose the same YIELD rows via `.stats()`.
+_IGNORED_CONFIG = {
+    "concurrency", "readConcurrency", "writeConcurrency", "batchSize",
+    "write", "writeProperty", "partitionProperty", "scoreProperty",
+    "clusterProperty", "communityProperty", "graph", "defaultValue",
+    "stats",
+}
+
+# Per-name kwarg presets: aliases whose reference name itself selects a
+# mode (the engine exposes the mode as a parameter on one callable).
+_NAME_PRESETS: dict[str, dict] = {
+    "algo.pageRank.weighted": {"weighted": True},
+}
+
+
+def call(name: str, graph, **config):
+    """Run a cataloged procedure by its reference name —
+    ``CALL algo.pageRank.stream('L','T',{iterations:20})`` becomes
+    ``call("algo.pageRank.stream", graph, iterations=20)``.
+
+    The label/relationship projection arguments of the reference CALL
+    are the ``graph`` here (build it with ``Graph.from_edges`` /
+    ``sources.loader``); config keys are mapped to engine kwargs
+    (``iterations``→``max_iterations``, ``dampingFactor``→``damping``,
+    …), pure execution/write knobs (``concurrency``, ``write``,
+    ``writeProperty``, …) are ignored as documented, and anything else
+    unknown raises instead of being silently dropped.
+
+    ``*.stream`` names return the primary result DataFrame (the
+    reference's YIELD stream); other names return the full result
+    object, whose ``.stats()`` mirrors the write-mode YIELD row.
+    """
+    import dataclasses
+    import importlib
+    import inspect
+
+    by_name = {n: (kind, impl) for n, kind, impl in _PROCEDURES}
+    if name not in by_name:
+        near = [n for n in by_name if name.lower() in n.lower()]
+        raise KeyError(f"unknown procedure {name!r}" +
+                       (f"; did you mean one of {near}?" if near else ""))
+    kind, impl = by_name[name]
+    if kind == "function":
+        raise TypeError(
+            f"{name} is a scalar column function — use "
+            f"neo4j_graph_algorithms_spark.{impl} on a Column directly")
+
+    # resolve the impl path inside this package
+    pkg = __name__.rsplit(".", 1)[0]  # neo4j_graph_algorithms_spark
+    if impl.startswith("graph.Graph."):
+        fn = getattr(graph, impl.rsplit(".", 1)[1])
+    else:
+        mod_path, attr = impl.rsplit(".", 1)
+        fn = getattr(importlib.import_module(f"{pkg}.{mod_path}"), attr)
+
+    params = inspect.signature(fn).parameters
+    kwargs = dict(_NAME_PRESETS.get(name, {}))
+    # weightProperty means "use the loaded weights" — the engine's
+    # Graph already carries its weight column, so it maps to the
+    # weighted flag where the operator has one and is moot otherwise.
+    cfg = dict(config)
+    if cfg.pop("weightProperty", None) is not None and "weighted" in params:
+        kwargs["weighted"] = True
+    for key, value in cfg.items():
+        target = _CONFIG_ALIASES.get(key, key)
+        if target in params:
+            kwargs[target] = value
+        elif key in _IGNORED_CONFIG:
+            continue
+        else:
+            raise ValueError(
+                f"{name}: unsupported config key {key!r} "
+                f"(engine parameters: {sorted(params)})")
+
+    result = fn(**kwargs) if impl.startswith("graph.Graph.") else fn(graph, **kwargs)
+
+    if name.endswith(".stream"):
+        if isinstance(result, DataFrame):
+            return result
+        for f in dataclasses.fields(result):
+            v = getattr(result, f.name)
+            if isinstance(v, DataFrame):
+                return v
+    return result

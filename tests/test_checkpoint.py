@@ -164,3 +164,36 @@ def test_article_rank_resume_matches_direct(spark, tmp_path):
     got = {r["id"]: r["score"] for r in resumed.scores.collect()}
     for k in direct:
         assert got[k] == pytest.approx(direct[k], abs=1e-12)
+
+
+def test_checkpoint_storage_level_knob(monkeypatch):
+    """Serialized checkpoint storage is the default (BENCH/BASELINE.md:
+    5.2x less GC, 5x denser cache, bit-identical results); the env knob
+    restores the per-row-object level or picks any StorageLevel."""
+    from pyspark.storagelevel import StorageLevel
+
+    from neo4j_graph_algorithms_spark.plans.checkpoint import (
+        _checkpoint_storage_level,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_CKPT_STORAGE", raising=False)
+    lvl = _checkpoint_storage_level()
+    assert lvl == StorageLevel.MEMORY_AND_DISK
+    assert not lvl.deserialized  # PySpark-4 MEMORY_AND_DISK is serialized
+
+    for name in ("deser", "default", "memory_and_disk_deser"):
+        monkeypatch.setenv("SPARK_GRAFT_CKPT_STORAGE", name)
+        assert _checkpoint_storage_level() is None  # Spark's implicit level
+
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_STORAGE", "memory_only")
+    assert _checkpoint_storage_level() == StorageLevel.MEMORY_ONLY
+
+
+def test_serialized_checkpoint_scores_bit_identical(spark, f1_graph, monkeypatch):
+    from neo4j_graph_algorithms_spark import pagerank
+
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_STORAGE", "deser")
+    rows = sorted(map(tuple, pagerank(f1_graph, max_iterations=7).scores.collect()))
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_STORAGE", "memory_and_disk_ser")
+    ser = sorted(map(tuple, pagerank(f1_graph, max_iterations=7).scores.collect()))
+    assert rows == ser

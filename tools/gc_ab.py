@@ -1,0 +1,111 @@
+"""A/B harness for single-JVM GC mitigation on the north metric.
+
+BENCH/BASELINE.md measured 32% of the local[32] leg's wall in G1
+pauses (one 48g heap, 32 task threads, ~0.5 GB of cached superstep
+state churned per superstep).  Two candidate mitigations, both
+plan-preserving (bit-identical scores):
+
+1. ``SPARK_GRAFT_CKPT_STORAGE=memory_and_disk_ser`` — serialized
+   superstep checkpoints: each cached partition becomes a few large
+   byte buffers instead of one UnsafeRow object per row
+   (``plans/checkpoint.py::truncate_lineage``).
+2. GC choice for the single fat JVM: default G1 vs ParallelGC
+   (throughput collector), injected via ``SPARK_SUBMIT_OPTS`` (client
+   mode → the launcher JVM is the driver/executor JVM).
+
+Each leg is a fresh JVM reading the SAME cached 20M-edge parquet
+(bench.py's north input), warmup 8 fixed supersteps, then the
+tolerance-mode run bench.py times (1e-6, check interval 8).
+Interleaved round-robin across legs so every variant sees the same
+co-tenant noise climate; best-of per leg reported.
+
+Usage: python tools/gc_ab.py [--cores 32] [--repeat 2]
+         [--edges-path /tmp/spark_graft_north_edges_100k.parquet]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from neo4j_graph_algorithms_spark import Graph, pagerank
+from neo4j_graph_algorithms_spark.session import get_spark
+
+cores = int(os.environ["CORES"])
+spark = get_spark(app_name="gc-ab", cores=cores, shuffle_partitions=cores)
+edges = spark.read.parquet(os.environ["EDGES_PATH"]).persist()
+n_edges = edges.count()
+g = Graph.from_edges(edges)
+pagerank(g, max_iterations=8).scores.count()  # warmup (C2 + shuffle infra)
+t0 = time.time()
+res = pagerank(g, max_iterations=200, tolerance=1e-6, tolerance_check_interval=8)
+res.scores.count()
+dt = time.time() - t0
+print(json.dumps({
+    "edges": n_edges, "supersteps": res.iterations_ran,
+    "seconds": round(dt, 3),
+    "edges_per_sec": round(n_edges * res.iterations_ran / dt, 1),
+}))
+spark.stop()
+"""
+
+LEGS = [
+    ("g1/rows", {}),
+    ("g1/ser", {"SPARK_GRAFT_CKPT_STORAGE": "memory_and_disk_ser"}),
+    ("parallelgc/rows", {"SPARK_SUBMIT_OPTS": "-XX:+UseParallelGC"}),
+    ("parallelgc/ser", {"SPARK_SUBMIT_OPTS": "-XX:+UseParallelGC",
+                        "SPARK_GRAFT_CKPT_STORAGE": "memory_and_disk_ser"}),
+]
+
+
+def run_leg(cores: int, edges_path: str, extra: dict[str, str]) -> dict:
+    env = dict(os.environ, REPO=REPO, CORES=str(cores), EDGES_PATH=edges_path)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    env.pop("SPARK_GRAFT_CKPT_STORAGE", None)
+    env.pop("SPARK_SUBMIT_OPTS", None)
+    env.update(extra)
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD], env=env,
+        capture_output=True, text=True, check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--edges-path",
+                    default="/tmp/spark_graft_north_edges_100k.parquet")
+    ap.add_argument("--legs", default="",
+                    help="comma-separated leg names to run (default all)")
+    args = ap.parse_args()
+
+    only = {s.strip() for s in args.legs.split(",") if s.strip()}
+    legs = [(n, e) for n, e in LEGS if not only or n in only]
+    best: dict[str, dict] = {}
+    for i in range(args.repeat):
+        for name, extra in legs:
+            r = run_leg(args.cores, args.edges_path, extra)
+            r["leg"] = name
+            r["round"] = i
+            print(json.dumps(r), flush=True)
+            if name not in best or r["edges_per_sec"] > best[name]["edges_per_sec"]:
+                best[name] = r
+    print("# best-of per leg:")
+    for name, r in best.items():
+        print(f"#   {name}: {r['edges_per_sec']:,} e*s/s "
+              f"({r['seconds']}s, {r['supersteps']} supersteps)")
+
+
+if __name__ == "__main__":
+    main()
