@@ -105,6 +105,7 @@ _PROCEDURES = [
     ("algo.kcore", "algorithm", "operators.kcore.k_core"),
     ("algo.coreNumbers", "algorithm", "operators.kcore.core_numbers"),
     ("algo.randomWalks", "algorithm", "operators.walks.random_walks"),
+    ("algo.randomWalks.node2vec", "algorithm", "operators.walks.node2vec_walks"),
     ("algo.isFinite", "function", "functions.is_finite"),
     ("algo.isInfinite", "function", "functions.is_infinite"),
     ("algo.Infinity", "function", "functions.infinity"),

@@ -17,7 +17,7 @@ from .mst import mst, minimum_spanning_forest
 from .betweenness import betweenness_centrality
 from .linkpred import neighbor_similarity
 from .kcore import k_core, core_numbers
-from .walks import random_walks
+from .walks import node2vec_walks, random_walks
 
 __all__ = [
     "pagerank",
@@ -45,4 +45,5 @@ __all__ = [
     "k_core",
     "core_numbers",
     "random_walks",
+    "node2vec_walks",
 ]

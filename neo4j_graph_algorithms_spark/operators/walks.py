@@ -106,3 +106,142 @@ def random_walks(
     return WalkResult(
         steps=steps, walk_length=walk_length, walks_per_node=walks_per_node
     )
+
+
+def node2vec_walks(
+    graph: Graph,
+    walk_length: int = 8,
+    walks_per_node: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    weight_scale: int = 12,
+    seed: int = 0,
+    direction_both: bool = True,
+) -> WalkResult:
+    """Second-order (node2vec) biased walks — ``(walk_id, step, vertex)``.
+
+    Step t ≥ 2 chooses the next vertex with probability proportional to
+    the node2vec bias α over the candidates ``N(cur)`` (Grover &
+    Leskovec 2016): α = 1/p for returning to ``prev``, 1 for candidates
+    adjacent to ``prev``, 1/q otherwise.  Step 1 is uniform (no
+    ``prev`` yet).  Edge weights are not used (unweighted node2vec).
+
+    **Deterministic exact weighted choice, no RNG**: biases are
+    quantized to integers ``W_back = max(1, round(weight_scale/p))``,
+    ``W_common = weight_scale``, ``W_far = max(1, round(weight_scale/
+    q))``, and candidate c draws ``W(c)`` md5 keys
+    ``md5(seed:walk:step:cur:c:i)``; the walk moves to the candidate
+    holding the overall minimum key.  Each key is an iid uniform draw,
+    so c wins with probability exactly ``W(c)/ΣW`` — sampling is
+    proportional to the quantized bias *by construction*, and the
+    choice replays bit-for-bit in any engine with md5 + lexicographic
+    string compare (the DuckDB oracle does).
+
+    Spark shape: the step join of :func:`random_walks` plus one more
+    hash join per step (``prev``'s sorted neighbor array, for the
+    α-class test via ``array_contains``); the key draws are a nested
+    ``transform``/``sequence`` higher-order expression — whole-stage
+    codegen, no Python.  Per-step cost is O(Σ_cand W(cand)) md5s per
+    walk; keep ``weight_scale`` small (p, q are quantized to
+    ``weight_scale / W`` anyway) and cap corpus hubs upstream as for
+    :func:`random_walks`.
+    """
+    w_back = max(1, round(weight_scale / p))
+    w_common = int(weight_scale)
+    w_far = max(1, round(weight_scale / q))
+
+    e = graph.edges.select("src", "dst")
+    if direction_both:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.dropDuplicates(["src", "dst"])
+    adj = truncate_lineage(
+        e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nb"))
+    )
+
+    def key_expr(step: int, cand, weight):
+        # min of `weight` iid md5 draws for this candidate — candidate
+        # wins the global argmin with probability weight/sum(weights)
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), weight - 1),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(int(seed)),
+                        F.col("walk_id"),
+                        F.lit(step),
+                        F.col("vertex"),
+                        cand,
+                        i,
+                    )
+                ),
+            )
+        )
+
+    start = graph.vertices.select("id").select(
+        F.explode(
+            F.array(*[F.col("id") * walks_per_node + j for j in range(walks_per_node)])
+        ).alias("walk_id"),
+        F.col("id").alias("vertex"),
+    )
+    out = [start.select("walk_id", F.lit(0).alias("step"), "vertex")]
+
+    # step 1: uniform (one draw per candidate)
+    cur = (
+        start.join(adj.withColumnRenamed("src", "vertex").hint("SHUFFLE_HASH"), "vertex")
+        .select(
+            "walk_id",
+            F.col("vertex").alias("prev"),
+            F.array_min(
+                F.transform(
+                    "nb",
+                    lambda c: F.struct(
+                        key_expr(1, c, F.lit(1)).alias("k"), c.alias("v")
+                    ),
+                )
+            )["v"].alias("vertex"),
+        )
+    )
+    cur = truncate_lineage(cur)
+    out.append(cur.select("walk_id", F.lit(1).alias("step"), "vertex"))
+
+    for step in range(2, walk_length + 1):
+        with_nb = (
+            cur.join(adj.withColumnRenamed("src", "vertex").hint("SHUFFLE_HASH"), "vertex")
+            .join(
+                adj.select(
+                    F.col("src").alias("prev"), F.col("nb").alias("nb_prev")
+                ).hint("SHUFFLE_HASH"),
+                "prev",
+            )
+        )
+        nxt = with_nb.select(
+            "walk_id",
+            F.col("vertex").alias("new_prev"),
+            F.array_min(
+                F.transform(
+                    "nb",
+                    lambda c: F.struct(
+                        key_expr(
+                            step,
+                            c,
+                            F.when(c == F.col("prev"), F.lit(w_back))
+                            .when(F.array_contains("nb_prev", c), F.lit(w_common))
+                            .otherwise(F.lit(w_far)),
+                        ).alias("k"),
+                        c.alias("v"),
+                    ),
+                )
+            )["v"].alias("vertex"),
+        ).select("walk_id", F.col("new_prev").alias("prev"), "vertex")
+        nxt = truncate_lineage(nxt)
+        cur = nxt
+        # levels stay checkpointed for the final union, like random_walks
+        out.append(cur.select("walk_id", F.lit(step).alias("step"), "vertex"))
+
+    steps = out[0]
+    for lvl in out[1:]:
+        steps = steps.unionByName(lvl)
+    return WalkResult(
+        steps=steps, walk_length=walk_length, walks_per_node=walks_per_node
+    )

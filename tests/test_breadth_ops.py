@@ -453,3 +453,81 @@ def test_betweenness_max_depth_variant(spark):
     capped = {r["id"]: r["centrality"]
               for r in betweenness_centrality(g, direction_both=True, max_depth=1).centrality.collect()}
     assert all(c == 0.0 for c in capped.values())
+
+
+def test_node2vec_walks_match_pure_python_replay(spark):
+    """The biased choice is md5-replayable: an independent pure-python
+    implementation of the min-of-W-hashes scheme must reproduce every
+    walk bit-for-bit."""
+    import hashlib
+
+    from neo4j_graph_algorithms_spark.operators import node2vec_walks
+
+    edge_list = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 2), (1, 5)]
+    g = Graph.from_edges(
+        spark.createDataFrame(edge_list, "src long, dst long")
+    )
+    p_, q_, scale, seed, L = 2.0, 0.5, 4, 3, 6
+    res = node2vec_walks(
+        g, walk_length=L, walks_per_node=2, p=p_, q=q_,
+        weight_scale=scale, seed=seed,
+    )
+    got = {(r["walk_id"], r["step"]): r["vertex"] for r in res.steps.collect()}
+
+    # pure-python replay
+    nb = {}
+    for s, d in edge_list:
+        nb.setdefault(s, set()).add(d)
+        nb.setdefault(d, set()).add(s)
+    nb = {k: sorted(v) for k, v in nb.items()}
+    w_back = max(1, round(scale / p_))      # 2
+    w_common = scale                        # 4
+    w_far = max(1, round(scale / q_))       # 8
+
+    def key(walk, step, cur, cand, w):
+        return min(
+            hashlib.md5(f"{seed}:{walk}:{step}:{cur}:{cand}:{i}".encode()).hexdigest()
+            for i in range(w)
+        )
+
+    want = {}
+    for v in nb:
+        for j in range(2):
+            walk = v * 2 + j
+            prev, cur = None, v
+            want[(walk, 0)] = cur
+            for step in range(1, L + 1):
+                cands = nb[cur]
+                if step == 1:
+                    choice = min(cands, key=lambda c: (key(walk, 1, cur, c, 1), c))
+                else:
+                    def w_of(c):
+                        if c == prev:
+                            return w_back
+                        return w_common if c in nb[prev] else w_far
+                    choice = min(
+                        cands, key=lambda c: (key(walk, step, cur, c, w_of(c)), c)
+                    )
+                prev, cur = cur, choice
+                want[(walk, step)] = cur
+    assert got == want
+
+
+def test_node2vec_bias_direction(spark):
+    """Sanity on the quantized bias: low p (return-heavy) must produce
+    more immediate backtracks than high p on the same graph."""
+    from neo4j_graph_algorithms_spark.operators import node2vec_walks
+
+    edges = [(i, (i + 1) % 30) for i in range(30)] + [(i, (i + 7) % 30) for i in range(30)]
+    g = Graph.from_edges(spark.createDataFrame(edges, "src long, dst long"))
+
+    def backtracks(p, q):
+        res = node2vec_walks(g, walk_length=5, p=p, q=q, weight_scale=6, seed=1)
+        rows = {(r["walk_id"], r["step"]): r["vertex"] for r in res.steps.collect()}
+        n = 0
+        for (w, s), v in rows.items():
+            if s >= 2 and rows.get((w, s - 2)) == v:
+                n += 1
+        return n
+
+    assert backtracks(p=0.2, q=1.0) > backtracks(p=6.0, q=1.0)
