@@ -17,6 +17,7 @@ from .mst import mst, minimum_spanning_forest
 from .betweenness import betweenness_centrality
 from .linkpred import neighbor_similarity
 from .kcore import k_core, core_numbers
+from .anf import neighborhood_function
 from .walks import node2vec_walks, random_walks
 
 __all__ = [
@@ -46,4 +47,5 @@ __all__ = [
     "core_numbers",
     "random_walks",
     "node2vec_walks",
+    "neighborhood_function",
 ]
