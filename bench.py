@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "labelprop_cop",
     "labelprop_cop_adj",    # same query, CSR vote-block layout
     "degrees_cs",
+    "anf_cop",            # FM-sketch neighborhood function (bit_or supersteps)
     "dedup_exact_docs",
     "minhash_lsh_docs",
     "cosine_topk_embeddings",

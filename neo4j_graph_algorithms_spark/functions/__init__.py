@@ -106,6 +106,7 @@ _PROCEDURES = [
     ("algo.coreNumbers", "algorithm", "operators.kcore.core_numbers"),
     ("algo.randomWalks", "algorithm", "operators.walks.random_walks"),
     ("algo.randomWalks.node2vec", "algorithm", "operators.walks.node2vec_walks"),
+    ("algo.anf", "algorithm", "operators.anf.neighborhood_function"),
     ("algo.isFinite", "function", "functions.is_finite"),
     ("algo.isInfinite", "function", "functions.is_infinite"),
     ("algo.Infinity", "function", "functions.infinity"),
