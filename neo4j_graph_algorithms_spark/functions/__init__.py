@@ -59,6 +59,10 @@ _PROCEDURES = [
     ("algo.unionFind.forkJoinMerge.stream", "algorithm", "operators.wcc.wcc"),
     ("algo.unionFind.mscoloring", "algorithm", "operators.wcc.wcc"),
     ("algo.unionFind.mscoloring.stream", "algorithm", "operators.wcc.wcc"),
+    # beyond-reference: star-contraction CC (Kiveris et al. SoCC'14) —
+    # O(log n) rounds regardless of diameter, same min-id partition
+    ("algo.unionFind.twoPhase", "algorithm", "operators.wcc.wcc_two_phase"),
+    ("algo.unionFind.twoPhase.stream", "algorithm", "operators.wcc.wcc_two_phase"),
     ("algo.labelPropagation", "algorithm", "operators.labelprop.label_propagation"),
     ("algo.triangle.stream", "algorithm", "operators.triangles.triangle_stream"),
     ("algo.triangleCount", "algorithm", "operators.triangles.triangle_count"),

@@ -1,7 +1,7 @@
 from .pagerank import pagerank, article_rank
 from .eigenvector import eigenvector_centrality
 from .hits import hits
-from .wcc import wcc
+from .wcc import wcc, wcc_two_phase
 from .labelprop import label_propagation
 from .triangles import triangle_count, triangle_stream, clustering_coefficients
 from .louvain import louvain
@@ -26,6 +26,7 @@ __all__ = [
     "eigenvector_centrality",
     "hits",
     "wcc",
+    "wcc_two_phase",
     "label_propagation",
     "triangle_count",
     "triangle_stream",
