@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.checkpoint import truncate_lineage
 from .textstats import shingle_rows, tokens
 
 
@@ -210,6 +211,12 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # materialize the (small, thresholded) pair set before releasing the
+    # shingle cache — same caller-owned-persist discipline as
+    # operators/triangles.py: consuming the result never recomputes the
+    # shingle explode, and the cache does not leak past this call.
+    out = truncate_lineage(out)
+    sh.unpersist()
     return out
 
 
