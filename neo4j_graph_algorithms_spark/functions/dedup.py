@@ -220,6 +220,61 @@ def ngram_jaccard_pairs(
     return out
 
 
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document repeated token spans — the exact-substring
+    dedup building block (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better": repeated spans are memorization /
+    boilerplate hot-spots that near-dup doc-level methods miss).
+
+    A token position is *hot* when the word ``n``-gram starting there
+    occurs in at least ``min_docs`` distinct documents; maximal runs of
+    consecutive hot positions are merged into one span.  Returns
+    ``(doc_id, start, end, n_tokens)`` — 0-based inclusive token
+    offsets of each span (length ``end - start + 1 >= n``).
+
+    Scale shape: one map-side-combined ``groupBy(gram)`` for the
+    cross-document frequency (hub grams — boilerplate in millions of
+    docs — collapse before the exchange), a semi join to keep hot
+    occurrences, then a classic gaps-and-islands merge under a
+    per-document window — partitioned by ``doc_id``, so no global
+    sort; a single document's positions sort within one task (docs are
+    bounded; the corpus is not)."""
+    from pyspark.sql import Window
+
+    sh = shingle_rows(df, text_col, id_col, n)
+    hot = (
+        sh.dropDuplicates(["id", "s"])
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("s")
+    )
+    hits = sh.join(hot.hint("SHUFFLE_HASH"), "s", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = hits.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(F.col("id").alias("doc_id"), "grp")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("end"),
+        )
+        .select(
+            "doc_id",
+            F.col("start").cast("long").alias("start"),
+            "end",
+            (F.col("end") - F.col("start") + 1).alias("n_tokens"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -79,6 +79,23 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 2) in out and out[(0, 2)] < 1.0
 
 
+def test_repeated_spans_maximal_merge(spark, docs):
+    # n=3, min_docs=2: docs 0/1 share every 3-gram (one full-doc span);
+    # doc 2 shares its prefix ("the quick brown fox") and suffix
+    # ("over the lazy dog") but not the middle — two separate maximal
+    # spans with the gap preserved.
+    rows = {
+        (r["doc_id"], r["start"], r["end"], r["n_tokens"])
+        for r in dedup.repeated_spans(docs, n=3, min_docs=2).collect()
+    }
+    assert rows == {
+        (0, 0, 8, 9),
+        (1, 0, 8, 9),
+        (2, 0, 3, 4),   # hot 3-gram positions 0,1 → tokens 0..3
+        (2, 5, 8, 4),   # hot 3-gram positions 5,6 → tokens 5..8
+    }
+
+
 def test_simhash_hamming(spark, docs):
     sh = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert sh[0] == sh[1]  # identical text → identical simhash
