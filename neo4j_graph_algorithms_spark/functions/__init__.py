@@ -107,6 +107,7 @@ _PROCEDURES = [
     ("algo.pageRank.weighted", "algorithm", "operators.pagerank.pagerank"),
     ("algo.pageRank.personalized", "algorithm", "operators.pagerank.pagerank"),
     ("algo.kcore", "algorithm", "operators.kcore.k_core"),
+    ("algo.ktruss", "algorithm", "operators.ktruss.k_truss"),
     ("algo.coreNumbers", "algorithm", "operators.kcore.core_numbers"),
     ("algo.randomWalks", "algorithm", "operators.walks.random_walks"),
     ("algo.randomWalks.node2vec", "algorithm", "operators.walks.node2vec_walks"),

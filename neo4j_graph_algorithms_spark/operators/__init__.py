@@ -2,6 +2,7 @@ from .pagerank import pagerank, article_rank
 from .eigenvector import eigenvector_centrality
 from .hits import hits
 from .wcc import wcc, wcc_two_phase
+from .ktruss import k_truss
 from .labelprop import label_propagation
 from .triangles import triangle_count, triangle_stream, clustering_coefficients
 from .louvain import louvain
@@ -27,6 +28,7 @@ __all__ = [
     "hits",
     "wcc",
     "wcc_two_phase",
+    "k_truss",
     "label_propagation",
     "triangle_count",
     "triangle_stream",
