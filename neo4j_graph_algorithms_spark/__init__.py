@@ -11,6 +11,7 @@ citations in each module.
 from .graph import Graph
 from .session import get_spark
 from .functions import algo_list, call
+from .plans import SuperstepCheckpointer, superstep_fixpoint
 from .operators import (
     pagerank,
     article_rank,
