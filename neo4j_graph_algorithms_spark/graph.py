@@ -245,6 +245,91 @@ class Graph:
             .agg(F.count(F.lit(1)).alias("frequency"))
         )
 
+    def summary_stats(self) -> DataFrame:
+        """One-row graph profile — the numbers a capacity plan, a skew
+        audit, or a partitioning decision reads before any algorithm
+        runs: ``(nodes, edges, undirected_edges, density, avg_degree,
+        max_degree, degree_assortativity)``.
+
+        ``degree_assortativity`` is Newman's r — the Pearson
+        correlation of endpoint degrees over the symmetrized edge list
+        (both orientations, so the statistic is orientation-free;
+        matches ``networkx.degree_assortativity_coefficient``).  NULL
+        on degenerate graphs (all degrees equal — zero variance).
+
+        Scale shape: the input edge set is materialized ONCE (eager
+        lineage cut) and every statistic reads that copy — a profile
+        over an expensive upstream projection must not re-run it per
+        aggregate; then one degree groupBy + two co-keyed joins + a
+        single global aggregate, all map-side combinable, no windows,
+        no driver-side per-row work."""
+        from .plans.checkpoint import truncate_lineage
+
+        e = truncate_lineage(self.edges.select("src", "dst"))
+        und = (
+            e.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        und = truncate_lineage(und)
+        deg = (
+            und.select(F.col("src").alias("id"))
+            .union(und.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        sym = und.union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        pairs = sym.join(
+            deg.select(F.col("id").alias("src"), F.col("degree").alias("sdeg")), "src"
+        ).join(
+            deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddeg")), "dst"
+        )
+        # corr() raises DIVIDE_BY_ZERO under ANSI mode on zero-variance
+        # (regular) graphs; assemble Pearson r from its pieces instead
+        cr = pairs.agg(
+            F.covar_pop("sdeg", "ddeg").alias("cov"),
+            F.stddev_pop("sdeg").alias("sx"),
+            F.stddev_pop("ddeg").alias("sy"),
+        ).collect()[0]
+        r = None
+        if cr["sx"] and cr["sy"]:
+            r = cr["cov"] / (cr["sx"] * cr["sy"])
+        d = deg.agg(
+            F.max("degree").alias("mx"), F.count(F.lit(1)).alias("nd")
+        ).collect()[0]
+        if self._vertices is not None:
+            n = self._vertices.count()
+        else:
+            n = (
+                e.select(F.col("src").alias("id"))
+                .union(e.select(F.col("dst").alias("id")))
+                .distinct()
+                .count()
+            )
+        m_dir = e.count()
+        m_und = und.count()
+        density = (2.0 * m_und / (n * (n - 1))) if n > 1 else 0.0
+        return self.spark.createDataFrame(
+            [
+                (
+                    n,
+                    m_dir,
+                    m_und,
+                    float(density),
+                    2.0 * m_und / n if n else 0.0,
+                    int(d["mx"] or 0),
+                    float(r) if r is not None else None,
+                )
+            ],
+            "nodes long, edges long, undirected_edges long, density double, "
+            "avg_degree double, max_degree long, degree_assortativity double",
+        )
+
     # ------------------------------------------------------------------ #
     # misc
     # ------------------------------------------------------------------ #

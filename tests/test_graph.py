@@ -52,3 +52,34 @@ def test_adjacency_hub_split_block_shape(spark):
     assert sorted(d for r in hub_rows for d in r["dsts"]) == list(range(1, 26))
     non_hub = [r for r in adj if r["src"] == 1]
     assert len(non_hub) == 1 and non_hub[0]["salt"] == 0
+
+
+def test_summary_stats_vs_networkx(spark):
+    import networkx as nx
+    import pytest as pt
+
+    from neo4j_graph_algorithms_spark import Graph
+
+    gnx = nx.gnm_random_graph(60, 150, seed=9)
+    g = Graph.from_edge_list(spark, list(gnx.edges()), vertices=range(60))
+    row = g.summary_stats().collect()[0]
+    assert row["nodes"] == 60
+    assert row["undirected_edges"] == gnx.number_of_edges()
+    assert row["density"] == pt.approx(nx.density(gnx))
+    assert row["avg_degree"] == pt.approx(
+        sum(d for _, d in gnx.degree()) / 60
+    )
+    assert row["max_degree"] == max(d for _, d in gnx.degree())
+    assert row["degree_assortativity"] == pt.approx(
+        nx.degree_assortativity_coefficient(gnx), abs=1e-9
+    )
+
+
+def test_summary_stats_degenerate_regular_graph(spark):
+    from neo4j_graph_algorithms_spark import Graph
+
+    # 4-cycle: every degree = 2 → zero variance → assortativity NULL
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 0)], vertices=range(4))
+    row = g.summary_stats().collect()[0]
+    assert row["degree_assortativity"] is None
+    assert row["avg_degree"] == 2.0
