@@ -108,6 +108,8 @@ _PROCEDURES = [
     ("algo.pageRank.personalized", "algorithm", "operators.pagerank.pagerank"),
     ("algo.kcore", "algorithm", "operators.kcore.k_core"),
     ("algo.ktruss", "algorithm", "operators.ktruss.k_truss"),
+    ("algo.fastRP", "algorithm", "operators.fastrp.fastrp"),
+    ("algo.fastRP.stream", "algorithm", "operators.fastrp.fastrp"),
     ("algo.coreNumbers", "algorithm", "operators.kcore.core_numbers"),
     ("algo.randomWalks", "algorithm", "operators.walks.random_walks"),
     ("algo.randomWalks.node2vec", "algorithm", "operators.walks.node2vec_walks"),

@@ -3,6 +3,7 @@ from .eigenvector import eigenvector_centrality
 from .hits import hits
 from .wcc import wcc, wcc_two_phase
 from .ktruss import k_truss
+from .fastrp import fastrp
 from .labelprop import label_propagation
 from .triangles import triangle_count, triangle_stream, clustering_coefficients
 from .louvain import louvain
@@ -29,6 +30,7 @@ __all__ = [
     "wcc",
     "wcc_two_phase",
     "k_truss",
+    "fastrp",
     "label_propagation",
     "triangle_count",
     "triangle_stream",

@@ -67,3 +67,28 @@ def test_two_phase_threshold_semantics(spark):
         for r in wcc_two_phase(g, threshold=3.0).components.collect()
     }
     assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3}
+
+
+def test_two_phase_round_plan_uses_shuffled_hash_join(spark):
+    # plan-shape guard: the star-contraction round joins must stay
+    # ShuffledHashJoin (the SHUFFLE_HASH hints) — an SMJ fallback would
+    # re-sort the full edge set every round at scale.
+    from pyspark.sql import functions as F
+
+    e = spark.range(100).select(
+        F.col("id").alias("u"), ((F.col("id") + 1) % 100).alias("v")
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lmins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    large = (
+        sym.join(lmins.hint("SHUFFLE_HASH"), "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    plan = large._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
