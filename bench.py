@@ -33,7 +33,11 @@ BENCH_QUERIES = [
     "labelprop_cop_adj",    # same query, CSR vote-block layout
     "degrees_cs",
     "anf_cop",            # FM-sketch neighborhood function (bit_or supersteps)
+    "wcc_twophase_cop",   # star-contraction CC (O(log n) rounds)
+    "k_truss_cop",        # triangle-support peeling
+    "fastrp_cop",         # random-projection embeddings (zero global aggs)
     "dedup_exact_docs",
+    "repeated_spans_docs",  # exact-substring dedup spans
     "minhash_lsh_docs",
     "cosine_topk_embeddings",
     "quality_docs",
