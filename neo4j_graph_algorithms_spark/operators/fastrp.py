@@ -78,6 +78,7 @@ def fastrp(
     seed: int = 0,
     direction_both: bool = True,
     check_interval: int = 2,
+    weighted: bool = False,
 ) -> FastRPResult:
     """d-dimensional embeddings after ``len(iteration_weights)`` rounds
     of neighbor-mean propagation; round l's per-node-normalized state
@@ -85,7 +86,10 @@ def fastrp(
 
     ``direction_both=True`` (default) symmetrizes the edge set first —
     embeddings of an undirected neighborhood; ``False`` propagates
-    along in-edges only (dst gathers from src)."""
+    along in-edges only (dst gathers from src).  ``weighted=True``
+    replaces the neighbor mean with the weight-weighted mean
+    ``Σ w·x / Σ w`` (GDS relationship-weight semantics); the plan is
+    unchanged — still one map-side-combined gather per round."""
     d = int(embedding_dim)
     xcols = [f"x{j}" for j in range(d)]
     ecols = [f"e{j}" for j in range(d)]
@@ -95,10 +99,15 @@ def fastrp(
     inv_sqrt_d = 1.0 / math.sqrt(float(d))
 
     with aqe_suspended(spark):
-        e = graph.edges.select("src", "dst")
+        ecols_in = ["src", "dst"] + (["weight"] if weighted else [])
+        e = graph.edges.select(*ecols_in)
         if direction_both:
             e = e.union(
-                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                e.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    *(["weight"] if weighted else []),
+                )
             )
         e = e.dropDuplicates(["src", "dst"]).repartition(n_part, "src").persist()
         e.count()
@@ -127,7 +136,22 @@ def fastrp(
                     "src",
                 )
                 .groupBy("dst")
-                .agg(*[F.avg(c).alias(f"g{j}") for j, c in enumerate(xcols)])
+                .agg(
+                    *(
+                        [
+                            (
+                                F.sum(F.col("weight") * F.col(c))
+                                / F.sum("weight")
+                            ).alias(f"g{j}")
+                            for j, c in enumerate(xcols)
+                        ]
+                        if weighted
+                        else [
+                            F.avg(c).alias(f"g{j}")
+                            for j, c in enumerate(xcols)
+                        ]
+                    )
+                )
                 .hint("SHUFFLE_HASH")
             )
             joined = state.join(msgs, state["id"] == msgs["dst"], "left")

@@ -105,3 +105,37 @@ def test_fastrp_as_array_shape(spark):
     arr = fastrp(g, embedding_dim=4, iteration_weights=(1.0,)).as_array()
     row = arr.collect()[0]
     assert len(row["embedding"]) == 4
+
+
+def test_fastrp_weighted_matches_python_replay(spark):
+    edges = [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 4.0), (2, 3, 0.5)]
+    g = Graph.from_edge_list(spark, edges, vertices=range(4))
+    d, weights = 4, (1.0, 1.0)
+    res = fastrp(g, embedding_dim=d, iteration_weights=weights, weighted=True)
+    got = {
+        r["id"]: np.array([r[f"e{j}"] for j in range(d)])
+        for r in res.embeddings.collect()
+    }
+    # python twin with weighted means over the symmetrized edge set
+    wnbrs = {n: [] for n in range(4)}
+    for a, b, w in edges:
+        wnbrs[a].append((b, w))
+        wnbrs[b].append((a, w))
+    x = {n: np.array([_init_py(n, j, d) for j in range(d)]) for n in range(4)}
+    emb = {n: np.zeros(d) for n in range(4)}
+    for w_l in weights:
+        g_ = {}
+        for n in range(4):
+            tw = sum(w for _, w in wnbrs[n])
+            g_[n] = (
+                sum(w * x[m] for m, w in wnbrs[n]) / tw
+                if tw
+                else np.zeros(d)
+            )
+        for n in range(4):
+            nrm = np.sqrt((g_[n] ** 2).sum())
+            xn = g_[n] / nrm if nrm > 0 else np.zeros(d)
+            x[n] = xn
+            emb[n] = emb[n] + w_l * xn
+    for n in range(4):
+        np.testing.assert_allclose(got[n], emb[n], atol=1e-12)
