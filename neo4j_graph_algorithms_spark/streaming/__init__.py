@@ -4,6 +4,7 @@ from .edge_stream import (
     streaming_edge_counts,
     streaming_near_dedup_minhash,
     streaming_window_stats,
+    streaming_sessions,
 )
 from .incremental_wcc import (
     IncrementalWccSink,
@@ -20,4 +21,5 @@ __all__ = [
     "streaming_incremental_wcc",
     "streaming_near_dedup_minhash",
     "streaming_window_stats",
+    "streaming_sessions",
 ]

@@ -201,3 +201,30 @@ def streaming_window_stats(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization: one row per (user, session) with the
+    session bounds and aggregates.  ``session_window`` merges events
+    whose gaps are under ``gap``; the watermark closes sessions once no
+    earlier event can still arrive — O(open sessions) state, the
+    streaming twin of the batch ``q_events_sessions`` oracle query
+    (session_end = last event + gap, Spark's session-window contract)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

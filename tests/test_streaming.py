@@ -8,6 +8,7 @@ from pyspark.sql import types as T
 from neo4j_graph_algorithms_spark.streaming import (
     streaming_dedup_first_seen,
     streaming_degrees,
+    streaming_sessions,
     streaming_window_stats,
 )
 
@@ -222,3 +223,36 @@ def test_streaming_incremental_wcc(spark, tmp_path):
     full = wcc(Graph.from_edge_list(spark, b1 + b2)).components
     ref = {(r["id"], r["set_id"]) for r in full.select("id", "set_id").collect()}
     assert got == ref, (sorted(got), sorted(ref))
+
+
+def test_streaming_sessions_matches_batch(spark, tmp_path):
+    src = "/root/testdata/sf0.001/events.parquet"
+    stage = str(tmp_path / "events_sess_dir")
+    spark.read.parquet(src).write.parquet(stage)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    out = streaming_sessions(stream)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess")
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    want = {
+        (r["user_id"], r["w"]["start"], r["w"]["end"]): (r["n"], round(r["v"], 6))
+        for r in batch
+    }
+    assert got == want
