@@ -215,11 +215,30 @@ class SuperstepCheckpointer:
         """
         d = self._iter_dir(iteration)
         t0 = time.time()
+        part_stats: dict[str, dict] = {}
         for name, df in state.items():
-            df.write.mode("overwrite").parquet(os.path.join(d, name))
+            path = os.path.join(d, name)
+            df.write.mode("overwrite").parquet(path)
+            # per-partition lineage record: one parquet part per task
+            # partition — sizes expose write skew without re-reading
+            sizes = sorted(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.startswith("part-")
+            )
+            if sizes:
+                part_stats[name] = {
+                    "partitions": len(sizes),
+                    "bytes_total": int(sum(sizes)),
+                    "bytes_max": int(sizes[-1]),
+                    "bytes_skew": round(
+                        sizes[-1] / (sum(sizes) / len(sizes)), 3
+                    ),
+                }
         row = {
             "iteration": iteration,
             "write_ms": int(1000 * (time.time() - t0)),
+            "partition_stats": part_stats,
             **(metrics or {}),
         }
         with open(self._metrics_path, "a") as fh:

@@ -43,6 +43,10 @@ def test_metrics_recorded_per_superstep(spark, f1_graph, tmp_path):
     assert [r["iteration"] for r in rows] == [1, 2, 3]
     for r in rows:
         assert "max_delta" in r and "active_vertices" in r and "write_ms" in r
+        # per-partition lineage record: parquet part sizes per saved state
+        ps = r["partition_stats"]["state"]
+        assert ps["partitions"] >= 1 and ps["bytes_total"] > 0
+        assert ps["bytes_skew"] >= 1.0
 
 
 def test_wcc_resume(spark, tmp_path):
