@@ -154,6 +154,11 @@ _CONFIG_ALIASES = {
     "walksPerNode": "walks_per_node",
     "similarityCutoff": "threshold",
     "checkInterval": "check_interval",
+    # GDS-era config names for the beyond-reference surfaces
+    "embeddingDimension": "embedding_dim",
+    "iterationWeights": "iteration_weights",
+    "randomSeed": "seed",
+    "relationshipWeightProperty": "weighted",
 }
 
 # Reference execution/write knobs with no meaning here: thread-pool
@@ -172,6 +177,15 @@ _IGNORED_CONFIG = {
 _NAME_PRESETS: dict[str, dict] = {
     "algo.pageRank.weighted": {"weighted": True},
 }
+
+
+def _coerce_config_value(target: str, value):
+    """GDS passes relationshipWeightProperty as a property NAME; the
+    engine's Graph already carries its weight column, so any non-empty
+    name means "weighted mode"."""
+    if target == "weighted" and isinstance(value, str):
+        return bool(value)
+    return value
 
 
 def call(name: str, graph, **config):
@@ -225,7 +239,7 @@ def call(name: str, graph, **config):
     for key, value in cfg.items():
         target = _CONFIG_ALIASES.get(key, key)
         if target in params:
-            kwargs[target] = value
+            kwargs[target] = _coerce_config_value(target, value)
         elif key in _IGNORED_CONFIG:
             continue
         else:

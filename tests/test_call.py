@@ -69,3 +69,24 @@ def test_unknown_name_suggests(g):
 def test_function_kind_points_at_column_fn(g):
     with pytest.raises(TypeError, match="scalar column function"):
         call("algo.isFinite", g)
+
+
+def test_call_gds_config_names_fastrp(spark, g):
+    from neo4j_graph_algorithms_spark.functions import call
+    from neo4j_graph_algorithms_spark.operators import fastrp
+
+    via_call = call(
+        "algo.fastRP",
+        g,
+        embeddingDimension=4,
+        iterationWeights=(1.0,),
+        randomSeed=7,
+    )
+    direct = fastrp(
+        g, embedding_dim=4, iteration_weights=(1.0,), seed=7
+    )
+    a = {r["id"]: tuple(r[f"e{j}"] for j in range(4))
+         for r in via_call.embeddings.collect()}
+    b = {r["id"]: tuple(r[f"e{j}"] for j in range(4))
+         for r in direct.embeddings.collect()}
+    assert a == b
