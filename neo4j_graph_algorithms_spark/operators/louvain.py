@@ -287,3 +287,73 @@ def louvain(
         metrics=metrics,
         levels_ran=levels_ran,
     )
+
+
+def modularity(graph: Graph, assignment: DataFrame) -> DataFrame:
+    """Per-community Newman modularity decomposition — one row per
+    community ``(community, intra_weight, degree_weight, contribution)``
+    with ``Q = Σ contribution = Σ_c (e_c/m − (d_c/(2m))²)`` over the
+    undirected weighted graph (the quantity Louvain greedily improves;
+    GDS-era ``modularity`` stats shape).
+
+    ``assignment`` is ``(id, community)`` — any community labeling
+    (Louvain output, WCC components, an external partition).
+
+    Scale shape: canonical undirected edges joined to the assignment on
+    both endpoints (two co-keyed SHJ joins), then two map-side-combined
+    aggregates — no windows, no driver-side math beyond the final sum
+    the caller performs (``agg(sum(contribution))``)."""
+    und = graph.canonical_undirected_edges()
+    if "weight" in graph.edges.columns:
+        w = graph.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        ).filter(F.col("src") != F.col("dst")).groupBy("src", "dst").agg(
+            F.max("weight").alias("weight")
+        )
+        und = w
+    else:
+        und = und.withColumn("weight", F.lit(1.0))
+    a = assignment.select(F.col("id"), F.col("community"))
+    e = (
+        und.join(
+            a.select(F.col("id").alias("src"), F.col("community").alias("cs")).hint(
+                "SHUFFLE_HASH"
+            ),
+            "src",
+        ).join(
+            a.select(F.col("id").alias("dst"), F.col("community").alias("cd")).hint(
+                "SHUFFLE_HASH"
+            ),
+            "dst",
+        )
+    )
+    e = truncate_lineage(e.select("cs", "cd", "weight"))
+    m = e.agg(F.sum("weight")).collect()[0][0] or 0.0
+    if m == 0.0:
+        return graph.spark.createDataFrame(
+            [],
+            "community long, intra_weight double, degree_weight double, "
+            "contribution double",
+        )
+    intra = (
+        e.filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.sum("weight").alias("intra_weight"))
+    )
+    deg = (
+        e.select(F.col("cs").alias("community"), "weight")
+        .unionAll(e.select(F.col("cd").alias("community"), "weight"))
+        .groupBy("community")
+        .agg(F.sum("weight").alias("degree_weight"))
+    )
+    return deg.join(intra, "community", "left").select(
+        "community",
+        F.coalesce("intra_weight", F.lit(0.0)).alias("intra_weight"),
+        "degree_weight",
+        (
+            F.coalesce("intra_weight", F.lit(0.0)) / F.lit(float(m))
+            - (F.col("degree_weight") / F.lit(2.0 * float(m))) ** 2
+        ).alias("contribution"),
+    )

@@ -531,3 +531,22 @@ def test_node2vec_bias_direction(spark):
         return n
 
     assert backtracks(p=0.2, q=1.0) > backtracks(p=6.0, q=1.0)
+
+
+def test_modularity_matches_networkx(spark):
+    import networkx as nx
+    from pyspark.sql import functions as F
+
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators import modularity
+
+    G = nx.gnm_random_graph(80, 200, seed=13)
+    g = Graph.from_edge_list(spark, list(G.edges()), vertices=range(80))
+    # arbitrary deterministic 5-way partition
+    part = [set(n for n in range(80) if n % 5 == k) for k in range(5)]
+    a = g.vertices.select("id", F.pmod("id", F.lit(5)).alias("community"))
+    rows = modularity(g, a).collect()
+    q = sum(r["contribution"] for r in rows)
+    want = nx.algorithms.community.modularity(G, part)
+    assert q == pytest.approx(want, abs=1e-9)
+    assert len(rows) == 5
