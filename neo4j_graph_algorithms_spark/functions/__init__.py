@@ -113,6 +113,7 @@ _PROCEDURES = [
     ("algo.fastRP.stream", "algorithm", "operators.fastrp.fastrp"),
     ("algo.coreNumbers", "algorithm", "operators.kcore.core_numbers"),
     ("algo.randomWalks", "algorithm", "operators.walks.random_walks"),
+    ("algo.graph.sample.rwr", "algorithm", "operators.sampling.sample_subgraph"),
     ("algo.randomWalks.node2vec", "algorithm", "operators.walks.node2vec_walks"),
     ("algo.anf", "algorithm", "operators.anf.neighborhood_function"),
     ("algo.isFinite", "function", "functions.is_finite"),

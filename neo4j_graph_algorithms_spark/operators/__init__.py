@@ -21,6 +21,7 @@ from .linkpred import neighbor_similarity
 from .kcore import k_core, core_numbers
 from .anf import neighborhood_function
 from .walks import node2vec_walks, random_walks
+from .sampling import sample_subgraph
 
 __all__ = [
     "pagerank",
@@ -52,6 +53,7 @@ __all__ = [
     "k_core",
     "core_numbers",
     "random_walks",
+    "sample_subgraph",
     "node2vec_walks",
     "neighborhood_function",
 ]

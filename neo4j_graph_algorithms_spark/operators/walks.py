@@ -44,11 +44,14 @@ def random_walks(
     walks_per_node: int = 1,
     seed: int = 0,
     direction_both: bool = True,
+    start_vertices: DataFrame | None = None,
 ) -> WalkResult:
     """``(walk_id, step, vertex)`` — ``walks_per_node`` deterministic
     walks from every vertex; ``walk_id = vertex * walks_per_node + j``.
     Step 0 is the start vertex; a walk emits fewer than
-    ``walk_length + 1`` rows iff it hits a dead end."""
+    ``walk_length + 1`` rows iff it hits a dead end.
+    ``start_vertices`` (an ``(id)`` DataFrame) restricts walk origins
+    to a seed set — the subgraph-sampling input."""
     e = graph.edges.select("src", "dst")
     if direction_both:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -57,7 +60,12 @@ def random_walks(
         e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nb"))
     )
 
-    cur = graph.vertices.select("id").select(
+    starts = (
+        graph.vertices.select("id")
+        if start_vertices is None
+        else start_vertices.select("id")
+    )
+    cur = starts.select(
         F.explode(
             F.array(*[F.col("id") * walks_per_node + j for j in range(walks_per_node)])
         ).alias("walk_id"),
