@@ -21,6 +21,11 @@ from .operators import (
     triangle_count,
     triangle_stream,
     clustering_coefficients,
+    wcc_two_phase,
+    k_truss,
+    fastrp,
+    modularity,
+    sample_subgraph,
 )
 
 __version__ = "0.1.0"
@@ -38,4 +43,11 @@ __all__ = [
     "triangle_count",
     "triangle_stream",
     "clustering_coefficients",
+    "wcc_two_phase",
+    "k_truss",
+    "fastrp",
+    "modularity",
+    "sample_subgraph",
+    "SuperstepCheckpointer",
+    "superstep_fixpoint",
 ]
