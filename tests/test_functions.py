@@ -198,3 +198,41 @@ def test_knn_graph_bridges_to_graph_ops(spark):
     comp = wcc(Graph.from_edges(edges)).components
     n_comp = comp.select("set_id").distinct().count()
     assert n_comp == 2
+
+
+def test_scale_properties_all_scalers(spark):
+    import math
+
+    from neo4j_graph_algorithms_spark.functions import scaling
+
+    df = spark.createDataFrame(
+        [(0, 2.0), (1, 4.0), (2, 6.0), (3, 8.0)], "id long, x double"
+    )
+    mm = {r["id"]: r["x_scaled"]
+          for r in scaling.scale_properties(df, ["x"], "minmax").collect()}
+    assert mm == {0: 0.0, 1: pytest.approx(1 / 3), 2: pytest.approx(2 / 3), 3: 1.0}
+    sd = {r["id"]: r["x_scaled"]
+          for r in scaling.scale_properties(df, ["x"], "stdscore").collect()}
+    assert sum(sd.values()) == pytest.approx(0.0)
+    assert sd[3] == pytest.approx((8.0 - 5.0) / math.sqrt(5.0))
+    mx = {r["id"]: r["x_scaled"]
+          for r in scaling.scale_properties(df, ["x"], "max").collect()}
+    assert mx[3] == 1.0 and mx[0] == 0.25
+    lg = {r["id"]: r["x_scaled"]
+          for r in scaling.scale_properties(df, ["x"], "log").collect()}
+    assert lg[0] == pytest.approx(math.log1p(2.0))
+    # degenerate: constant column -> zeros, not NaN/error
+    c = spark.createDataFrame([(0, 5.0), (1, 5.0)], "id long, x double")
+    z = {r["id"]: r["x_scaled"]
+         for r in scaling.scale_properties(c, ["x"], "minmax").collect()}
+    assert z == {0: 0.0, 1: 0.0}
+
+
+def test_scale_properties_l2norm_rowwise(spark):
+    from neo4j_graph_algorithms_spark.functions import scaling
+
+    df = spark.createDataFrame([(0, 3.0, 4.0), (1, 0.0, 0.0)], "id long, a double, b double")
+    out = {r["id"]: (r["a_scaled"], r["b_scaled"])
+           for r in scaling.scale_properties(df, ["a", "b"], "l2norm").collect()}
+    assert out[0] == (pytest.approx(0.6), pytest.approx(0.8))
+    assert out[1] == (0.0, 0.0)
