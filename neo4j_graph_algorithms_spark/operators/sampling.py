@@ -47,7 +47,8 @@ def sample_subgraph(
     )
     vs = truncate_lineage(
         res.steps.select(F.col("vertex").alias("id")).distinct()
-    )
+    )  # eager: vs owns its data now
+    res.release()  # retire the per-step walk checkpoints
     e = graph.edges.join(
         vs.select(F.col("id").alias("src")).hint("SHUFFLE_HASH"), "src", "left_semi"
     ).join(

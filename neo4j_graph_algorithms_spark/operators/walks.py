@@ -22,7 +22,7 @@ direction) terminate early.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,6 +36,22 @@ class WalkResult:
     steps: DataFrame               # (walk_id long, step int, vertex long)
     walk_length: int
     walks_per_node: int
+    _levels: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist the per-step checkpoint RDDs backing ``steps``.
+        Call ONLY after every read of ``steps`` has been materialized —
+        locally-checkpointed levels cannot be recomputed.  Consumers
+        that derive-and-materialize (e.g. ``sample_subgraph``) call
+        this to keep the cache footprint at O(1) walks."""
+        if not self._levels:
+            return
+        from ..plans.checkpoint import SuperstepCache
+
+        c = SuperstepCache(self._levels[0].sparkSession)
+        c.track(*self._levels)
+        c.release()
+        self._levels = []
 
 
 def random_walks(
@@ -72,6 +88,7 @@ def random_walks(
         F.col("id").alias("vertex"),
     )
     cur = truncate_lineage(cur)
+    levels = [adj, cur]
     out = [cur.select("walk_id", F.lit(0).alias("step"), "vertex")]
 
     for step in range(1, walk_length + 1):
@@ -103,16 +120,18 @@ def random_walks(
         )
         nxt = truncate_lineage(nxt)
         cur = nxt
+        levels.append(cur)
         # every level stays checkpointed (NOT retired): the final union
         # reads all of them; ownership passes to the caller with the
-        # result, like msbfs's per-level frontiers
+        # result (release() hands it back), like msbfs's frontiers
         out.append(cur.select("walk_id", F.lit(step).alias("step"), "vertex"))
 
     steps = out[0]
     for lvl in out[1:]:
         steps = steps.unionByName(lvl)
     return WalkResult(
-        steps=steps, walk_length=walk_length, walks_per_node=walks_per_node
+        steps=steps, walk_length=walk_length, walks_per_node=walks_per_node,
+        _levels=levels,
     )
 
 
@@ -211,6 +230,7 @@ def node2vec_walks(
         )
     )
     cur = truncate_lineage(cur)
+    levels = [adj, cur]
     out.append(cur.select("walk_id", F.lit(1).alias("step"), "vertex"))
 
     for step in range(2, walk_length + 1):
@@ -244,6 +264,7 @@ def node2vec_walks(
         ).select("walk_id", F.col("new_prev").alias("prev"), "vertex")
         nxt = truncate_lineage(nxt)
         cur = nxt
+        levels.append(cur)
         # levels stay checkpointed for the final union, like random_walks
         out.append(cur.select("walk_id", F.lit(step).alias("step"), "vertex"))
 
@@ -251,5 +272,6 @@ def node2vec_walks(
     for lvl in out[1:]:
         steps = steps.unionByName(lvl)
     return WalkResult(
-        steps=steps, walk_length=walk_length, walks_per_node=walks_per_node
+        steps=steps, walk_length=walk_length, walks_per_node=walks_per_node,
+        _levels=levels,
     )
