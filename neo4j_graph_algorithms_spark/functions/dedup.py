@@ -220,6 +220,88 @@ def ngram_jaccard_pairs(
     return out
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """``(id_a, id_b, hamming)`` — document pairs whose 60-bit simhash
+    fingerprints differ in at most ``max_hamming`` bits.
+
+    Candidate generation is the pigeonhole band join: the 60 bits are
+    split into ``max_hamming + 1`` contiguous bands, and any pair within
+    Hamming distance ``max_hamming`` MUST agree exactly on at least one
+    band — so the banded equi-join has **100% recall by construction**
+    (no probabilistic miss like MinHash-LSH); the exact
+    ``bit_count(a XOR b)`` filter then removes false candidates.
+
+    Scale shape: one simhash pass (map-side-combined, see
+    :func:`simhash`), explode to ``max_hamming + 1`` band rows per doc,
+    equi-join on (band index, band value) — never all-pairs.
+    ``max_band_df`` optionally drops band values shared by more than
+    that many docs from candidate generation (a hub guard: mega-cluster
+    band collisions are near-identical docs that exact dedup already
+    groups); setting it trades the recall guarantee for a bounded join,
+    exactly like ``ngram_jaccard_pairs``'s ``max_shingle_df``.  Empty
+    documents all hash to 0 — drop them upstream or they form one
+    all-pairs cluster."""
+    b = int(max_hamming) + 1
+    width = 60 // b
+    widths = [width + (1 if i < 60 % b else 0) for i in range(b)]
+    offsets = [sum(widths[:i]) for i in range(b)]
+    sh = truncate_lineage(simhash(df, text_col, id_col))
+    bands = sh.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(b)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    if max_band_df is not None:
+        keep = (
+            bands.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_band_df)
+            .select("band", "val")
+        )
+        bands = bands.join(keep.hint("SHUFFLE_HASH"), ["band", "val"], "left_semi")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    out = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    out = truncate_lineage(out)  # eager: owns its data now
+    from ..plans.checkpoint import SuperstepCache
+
+    c = SuperstepCache(df.sparkSession)
+    c.track(sh)
+    c.release()  # retire the fingerprint checkpoint
+    return out
+
+
 def repeated_spans(
     df: DataFrame,
     text_col: str = "text",

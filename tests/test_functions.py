@@ -236,3 +236,22 @@ def test_scale_properties_l2norm_rowwise(spark):
            for r in scaling.scale_properties(df, ["a", "b"], "l2norm").collect()}
     assert out[0] == (pytest.approx(0.6), pytest.approx(0.8))
     assert out[1] == (0.0, 0.0)
+
+
+def test_simhash_near_pairs_exact_recall(spark, docs):
+    # brute-force ground truth vs the banded join: pigeonhole bands
+    # guarantee 100% recall within max_hamming, and the bit_count
+    # filter guarantees 100% precision.
+    d = docs.filter(F.length("text") > 0)
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(d).collect()}
+    for h in (2, 5):
+        want = {
+            (a, b, bin(sh[a] ^ sh[b]).count("1"))
+            for a in sh for b in sh
+            if a < b and bin(sh[a] ^ sh[b]).count("1") <= h
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_near_pairs(d, max_hamming=h).collect()
+        }
+        assert got == want
