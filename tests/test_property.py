@@ -228,3 +228,37 @@ def test_article_rank_matches_recurrence_random(spark, edges):
             delta[v] = inc
     for v in range(N_VERTS):
         assert got[v] == pytest.approx(rank[v], abs=1e-9), (edges, v)
+
+
+@given(edges=edge_strategy)
+@SETTINGS
+def test_two_phase_wcc_matches_networkx(spark, edges):
+    from neo4j_graph_algorithms_spark.operators import wcc_two_phase
+
+    g = Graph.from_edge_list(spark, edges, vertices=range(N_VERTS))
+    comp = {r["id"]: r["set_id"] for r in wcc_two_phase(g).components.collect()}
+    G = nx.Graph()
+    G.add_nodes_from(range(N_VERTS))
+    G.add_edges_from(edges)
+    for cc in nx.connected_components(G):
+        assert {comp[v] for v in cc} == {min(cc)}, (edges, cc)
+
+
+@given(
+    edges=edge_strategy,
+    k=st.integers(min_value=3, max_value=5),
+)
+@SETTINGS
+def test_k_truss_matches_networkx(spark, edges, k):
+    from neo4j_graph_algorithms_spark.operators import k_truss
+
+    g = Graph.from_edge_list(spark, edges, vertices=range(N_VERTS))
+    got = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in k_truss(g, k).edges.collect()
+    }
+    G = nx.Graph()
+    G.add_nodes_from(range(N_VERTS))
+    G.add_edges_from(edges)
+    want = {tuple(sorted(e)) for e in nx.k_truss(G, k).edges()}
+    assert got == want, (edges, k)
