@@ -74,6 +74,51 @@ class Graph:
     # constructors
     # ------------------------------------------------------------------ #
     @classmethod
+    def project_bipartite(
+        cls,
+        df,
+        group_col: str,
+        item_col: str,
+        min_count: int = 1,
+        max_group_size: int | None = None,
+    ) -> "Graph":
+        """Item–item co-occurrence graph from a bipartite
+        ``(group, item)`` table — the projection every co-purchase /
+        co-citation / co-occurrence analysis starts from (the repo's
+        own cop fixture is this projection written by hand).
+
+        Edge ``(a < b, weight = #groups containing both)``; ``min_count``
+        prunes weak ties.  **``max_group_size`` is the skew guard the
+        projection needs at scale**: a single group with g items emits
+        g·(g−1)/2 pairs — one 10^6-item group is 5·10^11 rows — so
+        groups above the cap are dropped from pair generation (a
+        documented coverage cut, same contract as
+        ``ngram_jaccard_pairs.max_shingle_df``).  Both the size filter
+        and the pair count are map-side-combinable aggregates; the pair
+        self-join is an equi-join on the group key, never all-pairs
+        across groups."""
+        g = df.select(
+            F.col(group_col).alias("g"), F.col(item_col).cast("long").alias("i")
+        ).dropDuplicates(["g", "i"])
+        if max_group_size is not None:
+            ok = (
+                g.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("sz"))
+                .filter(F.col("sz") <= max_group_size)
+                .select("g")
+            )
+            g = g.join(ok.hint("SHUFFLE_HASH"), "g", "left_semi")
+        pairs = (
+            g.alias("a")
+            .join(g.alias("b"), "g")
+            .filter(F.col("a.i") < F.col("b.i"))
+            .groupBy(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+            .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+            .filter(F.col("weight") >= float(min_count))
+        )
+        return cls(pairs)
+
+    @classmethod
     def from_edges(
         cls,
         df: DataFrame,

@@ -83,3 +83,26 @@ def test_summary_stats_degenerate_regular_graph(spark):
     row = g.summary_stats().collect()[0]
     assert row["degree_assortativity"] is None
     assert row["avg_degree"] == 2.0
+
+
+def test_project_bipartite_counts_and_skew_guard(spark):
+    from pyspark.sql import functions as F
+
+    from neo4j_graph_algorithms_spark import Graph
+
+    rows = [
+        ("o1", 1), ("o1", 2), ("o1", 3),     # pairs (1,2),(1,3),(2,3)
+        ("o2", 1), ("o2", 2),                # pair (1,2) again
+        ("o3", 9),                           # singleton: no pairs
+    ] + [("big", 100 + i) for i in range(10)]  # 10-item group, disjoint ids
+    df = spark.createDataFrame(rows, "grp string, item long")
+
+    g = Graph.project_bipartite(df, "grp", "item")
+    got = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()
+           if r["src"] < 9}  # ignore the big group's pairs
+    assert got[(1, 2)] == 2.0 and got[(1, 3)] == 1.0 and got[(2, 3)] == 1.0
+
+    # skew guard drops the 10-item group entirely; min_count prunes ties
+    g2 = Graph.project_bipartite(df, "grp", "item", min_count=2, max_group_size=5)
+    pairs = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert pairs == {(1, 2)}
