@@ -63,6 +63,16 @@ LEGS = [
     ("parallelgc/rows", {"SPARK_SUBMIT_OPTS": "-XX:+UseParallelGC"}),
     ("parallelgc/ser", {"SPARK_SUBMIT_OPTS": "-XX:+UseParallelGC",
                         "SPARK_GRAFT_CKPT_STORAGE": "memory_and_disk_ser"}),
+    # Java-17 ZGC: sub-ms pauses but single-generation — every superstep's
+    # short-lived shuffle rows are collected by full-heap concurrent cycles
+    # that steal mutator CPU; measured against G1 on the serialized engine.
+    ("zgc/ser", {"SPARK_SUBMIT_OPTS": "-XX:+UseZGC",
+                 "SPARK_GRAFT_CKPT_STORAGE": "memory_and_disk_ser"}),
+    # G1 with the pause-time target relaxed 200ms -> 1s: bigger young gen,
+    # fewer mixed cycles — the throughput-over-latency point a batch
+    # engine wants (no interactive queries share this JVM).
+    ("g1pause1s/ser", {"SPARK_SUBMIT_OPTS": "-XX:MaxGCPauseMillis=1000",
+                       "SPARK_GRAFT_CKPT_STORAGE": "memory_and_disk_ser"}),
 ]
 
 
