@@ -348,7 +348,11 @@ def modularity(graph: Graph, assignment: DataFrame) -> DataFrame:
         .groupBy("community")
         .agg(F.sum("weight").alias("degree_weight"))
     )
-    return deg.join(intra, "community", "left").select(
+    # Both sides arrive hash-partitioned on community from their
+    # aggregates; hint SHJ so the exchange-free join hashes the smaller
+    # intra side instead of sorting both (stats-less post-agg frames
+    # otherwise fall back to sort-merge).
+    return deg.join(intra.hint("SHUFFLE_HASH"), "community", "left").select(
         "community",
         F.coalesce("intra_weight", F.lit(0.0)).alias("intra_weight"),
         "degree_weight",
