@@ -34,6 +34,9 @@ def nan() -> Column:
 # --------------------------------------------------------------------- #
 _PROCEDURES = [
     # (name, kind, module.callable)
+    # the catalog lists itself, as in the reference (ListProc.java:24
+    # is itself a @Procedure and shows up in its own output)
+    ("algo.list", "procedure", "functions.algo_list"),
     ("algo.pageRank", "algorithm", "operators.pagerank.pagerank"),
     ("algo.pageRank.stream", "algorithm", "operators.pagerank.pagerank"),
     # beyond-reference GDS-era power-iteration variants
@@ -221,6 +224,9 @@ def call(name: str, graph, **config):
         raise TypeError(
             f"{name} is a scalar column function — use "
             f"neo4j_graph_algorithms_spark.{impl} on a Column directly")
+    if kind == "procedure":  # algo.list — takes a session, not a graph
+        spark = getattr(graph, "spark", graph)
+        return algo_list(spark, config.get("query"))
 
     # resolve the impl path inside this package
     pkg = __name__.rsplit(".", 1)[0]  # neo4j_graph_algorithms_spark

@@ -90,3 +90,11 @@ def test_call_gds_config_names_fastrp(spark, g):
     b = {r["id"]: tuple(r[f"e{j}"] for j in range(4))
          for r in direct.embeddings.collect()}
     assert a == b
+
+
+def test_call_algo_list_returns_catalog(g):
+    df = call("algo.list", g)
+    names = {r["name"] for r in df.collect()}
+    assert "algo.list" in names and "algo.pageRank" in names
+    filtered = call("algo.list", g, query="unionFind")
+    assert all("unionFind" in r["name"] for r in filtered.collect())
