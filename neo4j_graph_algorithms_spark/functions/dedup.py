@@ -12,6 +12,8 @@ Tiers (cheap → robust), all shuffle-aware:
 - n-gram Jaccard: exact verification on candidate pairs (or rare-shingle
   candidates), computed as a shingle equi-join + group count.
 - embedding near-dup: cosine >= threshold via `similarity.py`.
+- decontamination: corpus n-grams vs a broadcast probe (benchmark)
+  gram set — per-doc overlap report + removable spans.
 
 Hashing is md5-based and deterministic — no Python RNG, no seed
 dependence — so results reproduce across runs/engines and the DuckDB
@@ -338,6 +340,17 @@ def repeated_spans(
         .select("s")
     )
     hits = sh.join(hot.hint("SHUFFLE_HASH"), "s", "left_semi")
+    return _hit_spans(hits, n)
+
+
+def _hit_spans(hits: DataFrame, n: int) -> DataFrame:
+    """Merge ``(id, pos)`` hit positions into maximal spans —
+    gaps-and-islands under a per-document window (partitioned by doc
+    id, so no global sort; one document's positions sort within one
+    task).  Returns ``(doc_id, start, end, n_tokens)`` with ``end``
+    covering the last token of the ``n``-gram starting at ``max(pos)``."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("id").orderBy("pos")
     islands = hits.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
@@ -355,6 +368,114 @@ def repeated_spans(
             (F.col("end") - F.col("start") + 1).alias("n_tokens"),
         )
     )
+
+
+def _probe_grams(
+    probes: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    broadcast_probes: bool,
+    with_ids: bool = True,
+) -> DataFrame:
+    """``(probe_id, s)`` (or just ``(s)``) — distinct word ``n``-grams
+    of the probe set, broadcast when requested (the scale default: a
+    benchmark suite is ~10^6-10^7 grams against a 100-TB corpus).  The
+    broadcast hint is applied last so it sits directly under the join."""
+    pg = shingle_rows(probes, text_col, id_col, n)
+    if with_ids:
+        pg = pg.select(F.col("id").alias("probe_id"), "s").dropDuplicates(
+            ["probe_id", "s"]
+        )
+    else:
+        pg = pg.select("s").dropDuplicates(["s"])
+    return F.broadcast(pg) if broadcast_probes else pg
+
+
+def contamination_report(
+    df: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    n: int = 13,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination report: per-document overlap with a
+    probe set (an eval benchmark) measured as shared word ``n``-grams —
+    the GPT-3 appendix-C / PaLM decontamination rule (n=13 there; pass
+    ``n=`` for the corpus's tokenization granularity).
+
+    Returns one row per *contaminated* document:
+    ``(doc_id, contaminated_grams, total_grams, contaminated_frac,
+    probes_hit)`` where ``contaminated_grams`` counts distinct token
+    positions whose ``n``-gram also occurs in any probe,
+    ``total_grams = max(len(tokens) - n + 1, 0)``, and ``probes_hit``
+    counts distinct probe documents matched.  Filter on
+    ``contaminated_frac`` (or drop any hit) upstream of training.
+
+    Scale shape: the probe gram set is broadcast
+    (``broadcast_probes=True``, the default), so the corpus side is a
+    map-side broadcast-hash join over the shingle stream — the 100-TB
+    side is scanned once and never shuffled; the only exchange is the
+    per-document aggregate over *hits* (rare by construction).  Set
+    ``broadcast_probes=False`` for probe sets too large to broadcast
+    (falls back to a shuffled equi-join on the gram)."""
+    pg = _probe_grams(probes, probe_text_col, probe_id_col, n, broadcast_probes)
+    sh = shingle_rows(df, text_col, id_col, n)
+    hits = sh.join(pg, "s").groupBy("id").agg(
+        F.count_distinct("pos").alias("contaminated_grams"),
+        F.count_distinct("probe_id").alias("probes_hit"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.greatest(
+            F.size(tokens(F.col(text_col))) - F.lit(n - 1), F.lit(0)
+        ).cast("long").alias("total_grams"),
+    )
+    return (
+        hits.join(totals, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "contaminated_grams",
+            "total_grams",
+            (F.col("contaminated_grams") / F.col("total_grams")).alias(
+                "contaminated_frac"
+            ),
+            "probes_hit",
+        )
+    )
+
+
+def contamination_spans(
+    df: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    n: int = 13,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Maximal contaminated token spans per document — the surgical
+    alternative to dropping a contaminated document whole: remove (or
+    mask) just the span that overlaps the benchmark, as in Lee et
+    al. 2021's exact-substring treatment.
+
+    A position is contaminated when its word ``n``-gram occurs in any
+    probe document; consecutive contaminated positions merge into one
+    span.  Returns ``(doc_id, start, end, n_tokens)`` — 0-based
+    inclusive token offsets, ``end - start + 1 >= n``.
+
+    Same broadcast-probe scale shape as ``contamination_report``; the
+    span merge runs under a per-document window over hits only."""
+    pg = _probe_grams(
+        probes, probe_text_col, probe_id_col, n, broadcast_probes, with_ids=False
+    )
+    sh = shingle_rows(df, text_col, id_col, n)
+    hits = sh.join(pg, "s", "left_semi")
+    return _hit_spans(hits, n)
 
 
 def simhash(

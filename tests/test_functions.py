@@ -255,3 +255,84 @@ def test_simhash_near_pairs_exact_recall(spark, docs):
             for r in dedup.simhash_near_pairs(d, max_hamming=h).collect()
         }
         assert got == want
+
+
+@pytest.fixture(scope="module")
+def contam(spark):
+    probes = spark.createDataFrame(
+        [
+            (100, "what is the capital of france paris"),
+            (101, "cooking pasta is fun always"),
+            (102, "totally unmatched probe sentence here"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "question what is the capital of france paris answer below"),
+            (1, "the capital of spain is madrid not france"),
+            (2, "completely unrelated text about cooking pasta is fun"),
+            (3, "nothing shared anywhere in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, probes
+
+
+def test_contamination_report(spark, contam):
+    corpus, probes = contam
+    rows = {
+        r["doc_id"]: (
+            r["contaminated_grams"],
+            r["total_grams"],
+            r["contaminated_frac"],
+            r["probes_hit"],
+        )
+        for r in dedup.contamination_report(corpus, probes, n=3).collect()
+    }
+    assert set(rows) == {0, 1, 2}  # doc 3 is clean — absent
+    assert rows[0] == (5, 8, pytest.approx(5 / 8), 1)
+    assert rows[1] == (1, 6, pytest.approx(1 / 6), 1)
+    assert rows[2] == (2, 6, pytest.approx(2 / 6), 1)
+
+
+def test_contamination_report_no_broadcast_parity(spark, contam):
+    corpus, probes = contam
+    a = sorted(
+        map(tuple, dedup.contamination_report(corpus, probes, n=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.contamination_report(
+                corpus, probes, n=3, broadcast_probes=False
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_contamination_spans(spark, contam):
+    corpus, probes = contam
+    spans = {
+        (r["doc_id"], r["start"], r["end"], r["n_tokens"])
+        for r in dedup.contamination_spans(corpus, probes, n=3).collect()
+    }
+    # doc 0: probe 100's 5 grams hit positions 1-5 -> one span over
+    # tokens 1..7; doc 1: single shared gram "the capital of" at 0;
+    # doc 2: probe 101 grams at positions 4,5 -> tokens 4..7.
+    assert spans == {(0, 1, 7, 7), (1, 0, 2, 3), (2, 4, 7, 4)}
+
+
+def test_contamination_probe_overlap_multi(spark):
+    # one doc hitting two distinct probes counts probes_hit = 2
+    probes = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(7, "alpha beta gamma delta then epsilon zeta eta theta end")],
+        "doc_id long, text string",
+    )
+    r = dedup.contamination_report(corpus, probes, n=3).collect()[0]
+    assert r["probes_hit"] == 2 and r["contaminated_grams"] == 4
