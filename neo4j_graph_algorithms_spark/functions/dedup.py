@@ -478,6 +478,48 @@ def contamination_spans(
     return _hit_spans(hits, n)
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    two_phase: bool = False,
+) -> DataFrame:
+    """Near-duplicate clustering: connected components over a pair
+    table — the step every production dedup pipeline runs after
+    candidate verification (C4 / RefinedWeb / Lee et al. keep one
+    document per *transitive* duplicate group, because near-dup is not
+    transitive: A~B and B~C does not imply A~C, yet all three must
+    resolve to one survivor).
+
+    ``pairs`` is any verified near-dup pair stream — the output of
+    ``simhash_near_pairs``, ``ngram_jaccard_pairs`` (filtered to the
+    accept threshold), ``minhash_lsh_candidates``, or the embedding
+    near-dup join.  Returns one row per document that appears in at
+    least one pair: ``(doc_id, cluster_id, keep)`` where ``cluster_id``
+    is the minimum doc id of the transitive group (deterministic, no
+    RNG) and ``keep`` marks the canonical survivor.  Documents in no
+    pair are untouched by definition — filter with an anti-join on
+    ``keep = false`` upstream of training.
+
+    Scale shape: this is exactly the engine's WCC over an edge
+    DataFrame — min-label frontier propagation (O(diameter) supersteps;
+    duplicate clusters are shallow, so 2-4 in practice) or, for
+    adversarial chain topologies, ``two_phase=True`` star contraction
+    at O(log n) rounds.  Either way the pair table shuffles on the hash
+    of the doc id per superstep and nothing is ever collected."""
+    from ..graph import Graph
+    from ..operators.wcc import wcc, wcc_two_phase
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    g = Graph.from_edges(edges)
+    res = wcc_two_phase(g) if two_phase else wcc(g)
+    return res.components.select(
+        F.col("id").alias("doc_id"),
+        F.col("set_id").alias("cluster_id"),
+        (F.col("id") == F.col("set_id")).alias("keep"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

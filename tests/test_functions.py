@@ -336,3 +336,26 @@ def test_contamination_probe_overlap_multi(spark):
     )
     r = dedup.contamination_report(corpus, probes, n=3).collect()[0]
     assert r["probes_hit"] == 2 and r["contaminated_grams"] == 4
+
+
+def test_near_dup_clusters_transitive(spark):
+    # near-dup is not transitive: the pair list is a chain 1~2, 2~3
+    # (no 1~3 pair) plus an isolated pair 10~11 — clustering must
+    # still put {1,2,3} in one group with keep = min id.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup.near_dup_clusters(pairs).collect()
+    }
+    assert rows == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+    }
+    # two-phase star contraction emits the identical partition
+    rows2 = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup.near_dup_clusters(pairs, two_phase=True).collect()
+    }
+    assert rows2 == rows
