@@ -28,9 +28,7 @@ import argparse
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from neo4j_graph_algorithms_spark import Graph
 from neo4j_graph_algorithms_spark.functions import dedup as dd
-from neo4j_graph_algorithms_spark.operators import wcc
 
 
 def main() -> None:
@@ -62,13 +60,10 @@ def main() -> None:
     ).select("id_a", "id_b")
 
     # transitive closure: groups of near-dups keep one representative
-    comp = wcc(Graph.from_edges(
-        near_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )).components  # (id, set_id = min member)
-    drop = comp.filter(F.col("id") != F.col("set_id"))
+    drop = dd.near_dup_clusters(near_pairs).filter(~F.col("keep"))
 
     kept = exact_survivors.join(
-        drop.select(F.col("id").alias(args.id_col)), args.id_col, "left_anti"
+        drop.select(F.col("doc_id").alias(args.id_col)), args.id_col, "left_anti"
     )
     kept.write.mode("overwrite").parquet(args.out)
 
@@ -79,7 +74,8 @@ def main() -> None:
             .select(F.col("text_hash"), F.col("keep_id"))
         )
         near_map = drop.select(
-            F.col("id").alias("removed_id"), F.col("set_id").alias("kept_id")
+            F.col("doc_id").alias("removed_id"),
+            F.col("cluster_id").alias("kept_id"),
         )
         near_map.write.mode("overwrite").parquet(args.report + "/near_dups")
         exact_map.write.mode("overwrite").parquet(args.report + "/exact_groups")
