@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "fastrp_cop",         # random-projection embeddings (zero global aggs)
     "dedup_exact_docs",
     "repeated_spans_docs",  # exact-substring dedup spans
+    "contamination_docs",   # broadcast-probe benchmark decontamination
     "minhash_lsh_docs",
     "cosine_topk_embeddings",
     "quality_docs",
