@@ -5,7 +5,7 @@ training-data pipeline function families (dedup / similarity / text).
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import dedup, scaling, similarity, textstats  # noqa: F401
+from . import dedup, sampling, scaling, similarity, textstats  # noqa: F401
 
 
 # --------------------------------------------------------------------- #

@@ -1,50 +1,69 @@
-"""Walk-based subgraph sampling: determinism, seed containment,
-induced-edge correctness."""
+"""Deterministic hash split / sample semantics."""
 
+import pytest
 from pyspark.sql import functions as F
 
-from neo4j_graph_algorithms_spark import Graph
-from neo4j_graph_algorithms_spark.operators import random_walks, sample_subgraph
+from neo4j_graph_algorithms_spark.functions import sampling as smp
 
 
-def _graph(spark):
-    # two near-cliques joined by one bridge + an unreachable pair
-    c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
-    c2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
-    bridge = [(4, 10)]
-    far = [(20, 21)]
-    return Graph.from_edge_list(
-        spark, c1 + c2 + bridge + far, vertices=list(range(15)) + [20, 21]
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_split_partitions_everything(spark, ids):
+    out = smp.hash_split(ids, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    # expected 1600/200/200; allow generous hash tolerance
+    assert 1480 < counts["train"] < 1720
+    assert 130 < counts["val"] < 270
+    assert 130 < counts["test"] < 270
+
+
+def test_hash_split_deterministic_and_salt_sensitive(spark, ids):
+    a = dict(smp.hash_split(ids, {"a": 0.5, "b": 0.5}).collect())
+    b = dict(smp.hash_split(ids, {"a": 0.5, "b": 0.5}).collect())
+    assert a == b
+    c = dict(smp.hash_split(ids, {"a": 0.5, "b": 0.5}, salt="other").collect())
+    assert a != c
+
+
+def test_hash_split_weights_normalized(spark, ids):
+    frac = dict(smp.hash_split(ids, {"x": 8, "y": 2}).collect())
+    ref = dict(smp.hash_split(ids, {"x": 0.8, "y": 0.2}).collect())
+    assert frac == ref
+
+
+def test_hash_sample_nested_and_stable(spark, ids):
+    s10 = {r["doc_id"] for r in smp.hash_sample(ids, 0.10).collect()}
+    s01 = {r["doc_id"] for r in smp.hash_sample(ids, 0.01).collect()}
+    assert s01 <= s10  # same salt, growing fraction -> nested
+    assert smp.hash_sample(ids, 0.0).count() == 0
+    assert smp.hash_sample(ids, 1.0).count() == 2000
+    assert {r["doc_id"] for r in smp.hash_sample(ids, 0.10).collect()} == s10
+
+
+def test_stratified_sample_per_stratum(spark):
+    rows = [(i, "hub" if i % 2 == 0 else "rare") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, kind string")
+    out = smp.stratified_sample(
+        df, {"hub": 0.1, "rare": 1.0}, strata_col="kind", id_col="doc_id"
     )
+    counts = {r["kind"]: r["n"] for r in out.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 2000  # kept whole
+    assert 120 < counts["hub"] < 280  # ~10% of 2000
+    # unlisted strata use default_fraction (0.0 -> dropped)
+    df2 = df.withColumn("kind", F.lit("other"))
+    assert smp.stratified_sample(
+        df2, {"hub": 0.1}, strata_col="kind", id_col="doc_id"
+    ).count() == 0
 
 
-def test_sample_contains_seeds_and_only_induced_edges(spark):
-    g = _graph(spark)
-    seeds = spark.createDataFrame([(0,)], "id long")
-    sub = sample_subgraph(g, seeds, walk_length=4, walks_per_node=2)
-    vs = {r["id"] for r in sub.vertices.collect()}
-    assert 0 in vs                      # seed always present
-    assert not vs & {20, 21}           # unreachable pair never sampled
-    edges = {(r["src"], r["dst"]) for r in sub.edges.select("src", "dst").collect()}
-    full = {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
-    assert edges <= full
-    for s, d in edges:                 # strictly induced
-        assert s in vs and d in vs
-
-
-def test_sample_is_deterministic(spark):
-    g = _graph(spark)
-    seeds = spark.createDataFrame([(0,), (12,)], "id long")
-    a = {(r["src"], r["dst"])
-         for r in sample_subgraph(g, seeds, walk_length=5).edges.collect()}
-    b = {(r["src"], r["dst"])
-         for r in sample_subgraph(g, seeds, walk_length=5).edges.collect()}
-    assert a == b and len(a) > 0
-
-
-def test_seeded_walks_start_only_at_seeds(spark):
-    g = _graph(spark)
-    seeds = spark.createDataFrame([(12,)], "id long")
-    res = random_walks(g, walk_length=3, walks_per_node=2, start_vertices=seeds)
-    starts = {r["vertex"] for r in res.steps.filter(F.col("step") == 0).collect()}
-    assert starts == {12}
+def test_validation_errors(spark, ids):
+    with pytest.raises(ValueError):
+        smp.hash_sample(ids, 1.5)
+    with pytest.raises(ValueError):
+        smp.hash_split(ids, {})
+    with pytest.raises(ValueError):
+        smp.stratified_sample(ids, {"a": 2.0}, strata_col="doc_id")
