@@ -156,6 +156,165 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def term_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, term)`` — one row per token occurrence.  The explode is
+    corpus-sized but every consumer below immediately aggregates it with
+    a map-side partial (``groupBy(term)`` / ``groupBy(doc, term)``), so
+    the shuffle carries vocabulary-sized data, not corpus-sized."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+
+
+def tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """``(doc_id, term, tf, df, tfidf)`` — classic TF-IDF weights,
+    ``tfidf = tf · ln(N / df)`` with N the corpus document count and
+    ``df`` the number of distinct documents containing the term.
+
+    100-TB shape: one corpus scan → codegen'd tokenize/explode →
+    map-side-combined ``groupBy(doc, term)`` (the only corpus-sized
+    shuffle, already collapsed to distinct (doc, term) pairs) → the
+    vocabulary-sized ``df`` table re-aggregates from that same result
+    (no second scan) and joins back broadcast-style.  No Python UDFs,
+    no window functions, no global sort.
+    """
+    terms = term_rows(df, text_col, id_col)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        docfreq = docfreq.filter(F.col("df") >= min_df)
+    return (
+        tf.join(F.broadcast(docfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``(doc_id, score)`` — Okapi BM25 relevance of every document that
+    contains at least one query term, using the Lucene idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` and
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    100-TB shape: the corpus is scanned ONCE; the query-term filter is
+    an ``isin`` on the exploded tokens (a literal in the codegen'd
+    predicate — nothing survives the scan except hits on the handful of
+    query terms), so the only shuffles aggregate query-hit rows, not
+    the corpus.  Doc length and the corpus aggregates (N, avgdl) come
+    from the same scan's token counts; per-term ``df``/idf is a
+    broadcast-sized table.
+    """
+    qt = sorted(set(query_terms))
+    docs = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(F.col(text_col)).alias("t"),
+    )
+    # per-doc length + per-(doc, query-term) tf from one pass
+    dl = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
+    hits = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    n_docs, avgdl = int(corpus["n_docs"]), float(corpus["sum_dl"]) / int(corpus["n_docs"])
+    docfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    per_term = (
+        hits.join(F.broadcast(docfreq), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", (idf * (tf * F.lit(k1 + 1.0)) / denom).alias("part"))
+    )
+    return per_term.groupBy("doc_id").agg(F.round(F.sum("part"), 6).alias("score"))
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """``(w1, w2, pair_count, pmi)`` — pointwise mutual information of
+    adjacent token bigrams across the corpus (collocation / phrase
+    mining, the `word2phrase` statistic):
+    ``pmi = ln( (c_ab/B) / ((c_a/U)·(c_b/U)) )`` with B total bigram
+    occurrences and U total token occurrences.
+
+    100-TB shape: bigrams come from the same slice/arrays_zip
+    construction as ``shingle_rows`` (whole-stage codegen, no lambda);
+    both counting aggregates are map-side combined, so the exchanges
+    carry vocab- and vocab²-sized data.  The unigram join sides are
+    vocabulary-sized → broadcast; hub tokens are collapsed before any
+    shuffle by the partial aggregate.
+    """
+    t = tokens(F.col(text_col))
+    pairs = df.select(
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.arrays_zip(
+                    F.slice(t, 1, F.size(t) - 1).alias("w1"),
+                    F.slice(t, 2, F.size(t) - 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = term_rows(df, text_col, id_col).groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    totals = uni.agg(F.sum("c").alias("u")).first()
+    n_uni = int(totals["u"])
+    n_big = big.agg(F.sum("pair_count").alias("b")).first()
+    n_big = int(n_big["b"]) if n_big["b"] is not None else 0
+    pmi = F.log(
+        (F.col("pair_count").cast("double") / F.lit(float(n_big)))
+        / (
+            (F.col("c1").cast("double") / F.lit(float(n_uni)))
+            * (F.col("c2").cast("double") / F.lit(float(n_uni)))
+        )
+    )
+    return (
+        big.filter(F.col("pair_count") >= min_count)
+        .join(F.broadcast(uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .select("w1", "w2", "pair_count", F.round(pmi, 6).alias("pmi"))
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",

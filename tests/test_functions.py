@@ -132,6 +132,94 @@ def vectors(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def test_tfidf_matches_hand_computation(spark, docs):
+    out = {
+        (r["doc_id"], r["term"]): r
+        for r in textstats.tfidf(docs).collect()
+    }
+    # "quick" appears once in docs 0, 1, 2 -> df=3, N=7
+    for d in (0, 1, 2):
+        r = out[(d, "quick")]
+        assert r["tf"] == 1 and r["df"] == 3
+        assert r["tfidf"] == pytest.approx(math.log(7 / 3), abs=1e-6)
+    # "the" appears twice in each of docs 0-2 -> tf=2
+    assert out[(0, "the")]["tf"] == 2
+    # "der" twice in doc 3 only: df=1 -> idf = ln(7)
+    r = out[(3, "der")]
+    assert r["tf"] == 2 and r["df"] == 1
+    assert r["tfidf"] == pytest.approx(2 * math.log(7.0), abs=1e-6)
+    # empty doc contributes no rows
+    assert not any(k[0] == 6 for k in out)
+    # min_df prunes rare terms
+    pruned = textstats.tfidf(docs, min_df=2)
+    assert not any(r["term"] == "der" for r in pruned.collect())
+
+
+def test_bm25_matches_hand_computation(spark, docs):
+    got = {r["doc_id"]: r["score"] for r in
+           textstats.bm25_score(docs, ["fox", "katze"]).collect()}
+    # reference BM25 (Lucene idf), computed independently in python
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox leaps over the lazy dog",
+        3: "der hund ist nicht mit der katze und das haus",
+        4: "le chat est dans la maison et pour les amis",
+        5: "zzz qqq xxx",
+    }
+    toks = {d: t.split() for d, t in texts.items()}
+    n, avgdl = 7, (9 + 9 + 9 + 10 + 10 + 3 + 0) / 7
+    df = {"fox": 3, "katze": 1}
+
+    def score(d):
+        s = 0.0
+        for term, dfv in df.items():
+            tf = toks[d].count(term)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - dfv + 0.5) / (dfv + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl))
+        return s
+
+    assert set(got) == {0, 1, 2, 3}
+    for d in got:
+        assert got[d] == pytest.approx(score(d), abs=1e-6)
+    # the doc matching the rarer term outscores the common-term docs
+    assert got[3] > got[0]
+
+
+def test_pmi_bigrams_collocation_ranking(spark, docs):
+    out = {(r["w1"], r["w2"]): r for r in
+           textstats.pmi_bigrams(docs, min_count=2).collect()}
+    # "quick brown" is adjacent in docs 0-2 (3 times); "the quick" too
+    assert out[("quick", "brown")]["pair_count"] == 3
+    # exclusive pair ("quick","brown") has higher PMI than a pair
+    # involving the high-frequency "the" (6 unigram occurrences)
+    assert out[("quick", "brown")]["pmi"] > out[("the", "quick")]["pmi"]
+    # hand-check one value: U=58 tokens... compute exactly
+    import itertools
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox leaps over the lazy dog",
+        "der hund ist nicht mit der katze und das haus",
+        "le chat est dans la maison et pour les amis",
+        "zzz qqq xxx",
+    ]
+    toks = [t.split() for t in texts]
+    uni = {}
+    for t in itertools.chain.from_iterable(toks):
+        uni[t] = uni.get(t, 0) + 1
+    U = sum(uni.values())
+    bigs = {}
+    for t in toks:
+        for a, b in zip(t, t[1:]):
+            bigs[(a, b)] = bigs.get((a, b), 0) + 1
+    B = sum(bigs.values())
+    expect = math.log((3 / B) / ((uni["quick"] / U) * (uni["brown"] / U)))
+    assert out[("quick", "brown")]["pmi"] == pytest.approx(expect, abs=1e-6)
+
+
 def test_cosine_topk_exact(spark, vectors):
     out = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
     rows = sorted(out.collect(), key=lambda r: r["rank"])
