@@ -24,6 +24,7 @@ from .operators import (
     wcc_two_phase,
     k_truss,
     fastrp,
+    conductance,
     modularity,
     sample_subgraph,
 )
@@ -46,6 +47,7 @@ __all__ = [
     "wcc_two_phase",
     "k_truss",
     "fastrp",
+    "conductance",
     "modularity",
     "sample_subgraph",
     "SuperstepCheckpointer",

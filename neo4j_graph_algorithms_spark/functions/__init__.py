@@ -74,6 +74,7 @@ _PROCEDURES = [
     ("algo.triangleCount.forkJoin.stream", "algorithm", "operators.triangles.triangle_count"),
     ("algo.louvain", "algorithm", "operators.louvain.louvain"),
     ("algo.louvain.stream", "algorithm", "operators.louvain.louvain"),
+    ("algo.conductance", "algorithm", "operators.louvain.conductance"),
     ("algo.modularity", "algorithm", "operators.louvain.modularity"),
     ("algo.shortestPaths", "algorithm", "operators.sssp.shortest_paths"),
     ("algo.shortestPaths.stream", "algorithm", "operators.sssp.shortest_paths"),

@@ -6,7 +6,7 @@ from .ktruss import k_truss
 from .fastrp import fastrp
 from .labelprop import label_propagation
 from .triangles import triangle_count, triangle_stream, clustering_coefficients
-from .louvain import louvain, modularity
+from .louvain import conductance, louvain, modularity
 from .sssp import shortest_paths, shortest_path, shortest_path_nodes
 from .msbfs import (
     msbfs_levels,
@@ -37,6 +37,7 @@ __all__ = [
     "triangle_stream",
     "clustering_coefficients",
     "louvain",
+    "conductance",
     "modularity",
     "shortest_paths",
     "shortest_path",

@@ -289,20 +289,11 @@ def louvain(
     )
 
 
-def modularity(graph: Graph, assignment: DataFrame) -> DataFrame:
-    """Per-community Newman modularity decomposition — one row per
-    community ``(community, intra_weight, degree_weight, contribution)``
-    with ``Q = Σ contribution = Σ_c (e_c/m − (d_c/(2m))²)`` over the
-    undirected weighted graph (the quantity Louvain greedily improves;
-    GDS-era ``modularity`` stats shape).
-
-    ``assignment`` is ``(id, community)`` — any community labeling
-    (Louvain output, WCC components, an external partition).
-
-    Scale shape: canonical undirected edges joined to the assignment on
-    both endpoints (two co-keyed SHJ joins), then two map-side-combined
-    aggregates — no windows, no driver-side math beyond the final sum
-    the caller performs (``agg(sum(contribution))``)."""
+def _labeled_undirected_edges(graph: Graph, assignment: DataFrame):
+    """``(e, m)`` — canonical undirected weighted edges with both
+    endpoints' community labels attached ``(cs, cd, weight)``
+    (lineage-cut), plus the total edge weight ``m``.  Shared by the
+    community-scoring metrics (modularity, conductance)."""
     und = graph.canonical_undirected_edges()
     if "weight" in graph.edges.columns:
         w = graph.edges.select(
@@ -331,6 +322,24 @@ def modularity(graph: Graph, assignment: DataFrame) -> DataFrame:
     )
     e = truncate_lineage(e.select("cs", "cd", "weight"))
     m = e.agg(F.sum("weight")).collect()[0][0] or 0.0
+    return e, float(m)
+
+
+def modularity(graph: Graph, assignment: DataFrame) -> DataFrame:
+    """Per-community Newman modularity decomposition — one row per
+    community ``(community, intra_weight, degree_weight, contribution)``
+    with ``Q = Σ contribution = Σ_c (e_c/m − (d_c/(2m))²)`` over the
+    undirected weighted graph (the quantity Louvain greedily improves;
+    GDS-era ``modularity`` stats shape).
+
+    ``assignment`` is ``(id, community)`` — any community labeling
+    (Louvain output, WCC components, an external partition).
+
+    Scale shape: canonical undirected edges joined to the assignment on
+    both endpoints (two co-keyed SHJ joins), then two map-side-combined
+    aggregates — no windows, no driver-side math beyond the final sum
+    the caller performs (``agg(sum(contribution))``)."""
+    e, m = _labeled_undirected_edges(graph, assignment)
     if m == 0.0:
         return graph.spark.createDataFrame(
             [],
@@ -360,4 +369,56 @@ def modularity(graph: Graph, assignment: DataFrame) -> DataFrame:
             F.coalesce("intra_weight", F.lit(0.0)) / F.lit(float(m))
             - (F.col("degree_weight") / F.lit(2.0 * float(m))) ** 2
         ).alias("contribution"),
+    )
+
+
+def conductance(graph: Graph, assignment: DataFrame) -> DataFrame:
+    """Per-community conductance — one row per community
+    ``(community, cut_weight, volume, conductance)`` with
+    ``φ(c) = cut(c) / min(vol(c), 2m − vol(c))`` over the undirected
+    weighted graph, ``cut(c)`` the weight of edges with exactly one
+    endpoint in ``c`` and ``vol(c) = 2·intra(c) + cut(c)`` (GDS-era
+    ``conductance`` stats shape — the boundary-quality twin of
+    ``modularity``).  ``conductance`` is NULL for a community whose
+    smaller side has zero volume (isolated or all-covering label).
+
+    Scale shape: identical to ``modularity`` — two co-keyed SHJ joins
+    attach the labels, then two map-side-combined aggregates over
+    community keys; nothing corpus-sized survives the partial agg."""
+    e, m = _labeled_undirected_edges(graph, assignment)
+    if m == 0.0:
+        return graph.spark.createDataFrame(
+            [], "community long, cut_weight double, volume double, conductance double"
+        )
+    intra = (
+        e.filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.sum("weight").alias("intra_weight"))
+    )
+    cut = (
+        e.filter(F.col("cs") != F.col("cd"))
+        .select(F.col("cs").alias("community"), "weight")
+        .unionAll(
+            e.filter(F.col("cs") != F.col("cd")).select(
+                F.col("cd").alias("community"), "weight"
+            )
+        )
+        .groupBy("community")
+        .agg(F.sum("weight").alias("cut_weight"))
+    )
+    # communities may appear only in intra (no boundary) or only in cut
+    joined = intra.join(cut.hint("SHUFFLE_HASH"), "community", "full").select(
+        "community",
+        F.coalesce("cut_weight", F.lit(0.0)).alias("cut_weight"),
+        (
+            F.lit(2.0) * F.coalesce("intra_weight", F.lit(0.0))
+            + F.coalesce("cut_weight", F.lit(0.0))
+        ).alias("volume"),
+    )
+    small_side = F.least(F.col("volume"), F.lit(2.0 * m) - F.col("volume"))
+    return joined.select(
+        "community",
+        "cut_weight",
+        "volume",
+        F.when(small_side > 0.0, F.col("cut_weight") / small_side).alias("conductance"),
     )

@@ -550,3 +550,39 @@ def test_modularity_matches_networkx(spark):
     want = nx.algorithms.community.modularity(G, part)
     assert q == pytest.approx(want, abs=1e-9)
     assert len(rows) == 5
+
+
+def test_conductance_matches_networkx(spark):
+    import networkx as nx
+    from pyspark.sql import functions as F
+
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators import conductance
+
+    G = nx.gnm_random_graph(80, 200, seed=13)
+    g = Graph.from_edge_list(spark, list(G.edges()), vertices=range(80))
+    a = g.vertices.select("id", F.pmod("id", F.lit(5)).alias("community"))
+    rows = {r["community"]: r for r in conductance(g, a).collect()}
+    assert len(rows) == 5
+    for k in range(5):
+        S = {n for n in range(80) if n % 5 == k}
+        want = nx.conductance(G, S)  # cut / min(vol(S), vol(V−S))
+        assert rows[k]["conductance"] == pytest.approx(want, abs=1e-9)
+        assert rows[k]["cut_weight"] == nx.cut_size(G, S)
+        assert rows[k]["volume"] == nx.volume(G, S)
+
+
+def test_conductance_degenerate_labels(spark):
+    from pyspark.sql import functions as F
+
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators import conductance
+
+    # one label covers the whole graph -> no boundary, NULL conductance
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 0)])
+    a = g.vertices.select("id", F.lit(7).alias("community"))
+    rows = conductance(g, a).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cut_weight"] == 0.0 and r["volume"] == 6.0
+    assert r["conductance"] is None
