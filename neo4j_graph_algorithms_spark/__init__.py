@@ -25,6 +25,7 @@ from .operators import (
     k_truss,
     fastrp,
     conductance,
+    k1coloring,
     modularity,
     sample_subgraph,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "k_truss",
     "fastrp",
     "conductance",
+    "k1coloring",
     "modularity",
     "sample_subgraph",
     "SuperstepCheckpointer",

@@ -113,6 +113,8 @@ _PROCEDURES = [
     ("algo.pageRank.personalized", "algorithm", "operators.pagerank.pagerank"),
     ("algo.kcore", "algorithm", "operators.kcore.k_core"),
     ("algo.ktruss", "algorithm", "operators.ktruss.k_truss"),
+    ("algo.beta.k1coloring", "algorithm", "operators.coloring.k1coloring"),
+    ("algo.beta.k1coloring.stream", "algorithm", "operators.coloring.k1coloring"),
     ("algo.fastRP", "algorithm", "operators.fastrp.fastrp"),
     ("algo.fastRP.stream", "algorithm", "operators.fastrp.fastrp"),
     ("algo.coreNumbers", "algorithm", "operators.kcore.core_numbers"),

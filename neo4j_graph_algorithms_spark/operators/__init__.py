@@ -2,6 +2,7 @@ from .pagerank import pagerank, article_rank
 from .eigenvector import eigenvector_centrality
 from .hits import hits
 from .wcc import wcc, wcc_two_phase
+from .coloring import k1coloring
 from .ktruss import k_truss
 from .fastrp import fastrp
 from .labelprop import label_propagation
@@ -51,6 +52,7 @@ __all__ = [
     "minimum_spanning_forest",
     "betweenness_centrality",
     "neighbor_similarity",
+    "k1coloring",
     "k_core",
     "core_numbers",
     "random_walks",

@@ -572,6 +572,46 @@ def test_conductance_matches_networkx(spark):
         assert rows[k]["volume"] == nx.volume(G, S)
 
 
+def test_k1coloring_proper_and_deterministic(spark):
+    import networkx as nx
+
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators import k1coloring
+
+    G = nx.gnm_random_graph(120, 400, seed=7)
+    g = Graph.from_edge_list(spark, list(G.edges()), vertices=range(120))
+    res = k1coloring(g, compute_color_count=True)
+    colors = {r["id"]: r["color"] for r in res.colors.collect()}
+    assert set(colors) == set(range(120))
+    # proper: no edge joins equal colors
+    for u, v in G.edges():
+        assert colors[u] != colors[v], (u, v)
+    # palette bound: k <= max degree + 1
+    assert res.color_count <= max(d for _, d in G.degree()) + 1
+    # deterministic across runs and parallelism
+    colors2 = {r["id"]: r["color"] for r in k1coloring(g).colors.collect()}
+    assert colors2 == colors
+
+
+def test_k1coloring_shapes(spark):
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators import k1coloring
+
+    # triangle needs 3 colors; isolated vertex gets color 0
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 0)], vertices=[0, 1, 2, 9])
+    res = k1coloring(g, compute_color_count=True)
+    got = {r["id"]: r["color"] for r in res.colors.collect()}
+    assert sorted(got[i] for i in (0, 1, 2)) == [0, 1, 2]
+    assert got[9] == 0
+    # path: proper, and within the greedy Delta+1 bound (JP is a
+    # heuristic — it does not promise the chromatic number)
+    g2 = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3)])
+    res2 = k1coloring(g2, compute_color_count=True)
+    got2 = {r["id"]: r["color"] for r in res2.colors.collect()}
+    assert got2[0] != got2[1] != got2[2] != got2[3]
+    assert res2.color_count <= 3
+
+
 def test_conductance_degenerate_labels(spark):
     from pyspark.sql import functions as F
 
