@@ -26,6 +26,7 @@ from .operators import (
     fastrp,
     conductance,
     k1coloring,
+    topological_levels,
     modularity,
     sample_subgraph,
 )
@@ -50,6 +51,7 @@ __all__ = [
     "fastrp",
     "conductance",
     "k1coloring",
+    "topological_levels",
     "modularity",
     "sample_subgraph",
     "SuperstepCheckpointer",

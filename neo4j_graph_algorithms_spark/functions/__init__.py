@@ -114,6 +114,8 @@ _PROCEDURES = [
     ("algo.kcore", "algorithm", "operators.kcore.k_core"),
     ("algo.ktruss", "algorithm", "operators.ktruss.k_truss"),
     ("algo.beta.k1coloring", "algorithm", "operators.coloring.k1coloring"),
+    ("algo.dag.topologicalSort", "algorithm", "operators.dag.topological_levels"),
+    ("algo.dag.longestPath", "algorithm", "operators.dag.topological_levels"),
     ("algo.beta.k1coloring.stream", "algorithm", "operators.coloring.k1coloring"),
     ("algo.fastRP", "algorithm", "operators.fastrp.fastrp"),
     ("algo.fastRP.stream", "algorithm", "operators.fastrp.fastrp"),

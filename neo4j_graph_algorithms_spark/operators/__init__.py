@@ -3,6 +3,7 @@ from .eigenvector import eigenvector_centrality
 from .hits import hits
 from .wcc import wcc, wcc_two_phase
 from .coloring import k1coloring
+from .dag import topological_levels
 from .ktruss import k_truss
 from .fastrp import fastrp
 from .labelprop import label_propagation
@@ -53,6 +54,7 @@ __all__ = [
     "betweenness_centrality",
     "neighbor_similarity",
     "k1coloring",
+    "topological_levels",
     "k_core",
     "core_numbers",
     "random_walks",

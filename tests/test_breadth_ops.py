@@ -612,6 +612,41 @@ def test_k1coloring_shapes(spark):
     assert res2.color_count <= 3
 
 
+def test_topological_levels_matches_networkx(spark):
+    import networkx as nx
+
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators import topological_levels
+
+    G = nx.gnm_random_graph(60, 150, seed=11, directed=True)
+    dag_edges = [(u, v) for u, v in G.edges() if u < v]  # low->high: acyclic
+    g = Graph.from_edge_list(spark, dag_edges, vertices=range(60))
+    res = topological_levels(g)
+    got = {r["id"]: r["level"] for r in res.levels.collect()}
+    # networkx DP: level(v) = longest path ending at v
+    D = nx.DiGraph()
+    D.add_nodes_from(range(60))
+    D.add_edges_from(dag_edges)
+    want = {v: 0 for v in D.nodes()}
+    for v in nx.topological_sort(D):
+        for u in D.predecessors(v):
+            want[v] = max(want[v], want[u] + 1)
+    assert got == want
+    assert res.max_level == max(want.values())
+    # a topological order: every edge goes to a strictly higher level
+    for u, v in dag_edges:
+        assert got[u] < got[v]
+
+
+def test_topological_levels_cycle_raises(spark):
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators import topological_levels
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 0)])
+    with pytest.raises(ValueError, match="cycle"):
+        topological_levels(g, max_iterations=10)
+
+
 def test_conductance_degenerate_labels(spark):
     from pyspark.sql import functions as F
 

@@ -244,6 +244,24 @@ def test_two_phase_wcc_matches_networkx(spark, edges):
         assert {comp[v] for v in cc} == {min(cc)}, (edges, cc)
 
 
+@given(edges=edge_strategy)
+@SETTINGS
+def test_k1coloring_proper_random(spark, edges):
+    from neo4j_graph_algorithms_spark.operators import k1coloring
+
+    g = Graph.from_edge_list(spark, edges, vertices=range(N_VERTS))
+    res = k1coloring(g, compute_color_count=True)
+    colors = {r["id"]: r["color"] for r in res.colors.collect()}
+    assert set(colors) == set(range(N_VERTS))
+    assert all(c is not None for c in colors.values())
+    for u, v in edges:
+        assert colors[u] != colors[v], (edges, u, v)
+    G = nx.Graph()
+    G.add_nodes_from(range(N_VERTS))
+    G.add_edges_from(edges)
+    assert res.color_count <= max(d for _, d in G.degree()) + 1, edges
+
+
 @given(
     edges=edge_strategy,
     k=st.integers(min_value=3, max_value=5),
