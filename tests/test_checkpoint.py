@@ -95,6 +95,44 @@ def test_labelprop_resume(spark, tmp_path):
     assert got == direct
 
 
+def test_k1coloring_resume_matches_direct(spark, tmp_path):
+    import networkx as nx
+
+    from neo4j_graph_algorithms_spark.operators import k1coloring
+
+    G = nx.gnm_random_graph(60, 180, seed=5)
+    g = Graph.from_edge_list(spark, list(G.edges()), vertices=range(60))
+    direct = {r["id"]: r["color"] for r in k1coloring(g).colors.collect()}
+
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path), "k1c", run_id="c1")
+    k1coloring(g, max_iterations=1, checkpointer=ckpt)
+    ckpt2 = SuperstepCheckpointer(spark, str(tmp_path), "k1c", run_id="c1")
+    resumed = k1coloring(g, checkpointer=ckpt2)
+    got = {r["id"]: r["color"] for r in resumed.colors.collect()}
+    assert got == direct
+
+
+def test_topological_levels_resume_matches_direct(spark, tmp_path):
+    import networkx as nx
+
+    from neo4j_graph_algorithms_spark.operators import topological_levels
+
+    G = nx.gnm_random_graph(60, 180, seed=6, directed=True)
+    dag = [(u, v) for u, v in G.edges() if u < v]
+    g = Graph.from_edge_list(spark, dag, vertices=range(60))
+    direct = {r["id"]: r["level"] for r in topological_levels(g).levels.collect()}
+
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path), "topo", run_id="t1")
+    try:
+        topological_levels(g, max_iterations=2, checkpointer=ckpt)
+    except ValueError:
+        pass  # not yet stabilized at the stop point — expected
+    ckpt2 = SuperstepCheckpointer(spark, str(tmp_path), "topo", run_id="t1")
+    resumed = topological_levels(g, checkpointer=ckpt2)
+    got = {r["id"]: r["level"] for r in resumed.levels.collect()}
+    assert got == direct
+
+
 def test_eigenvector_resume_matches_direct(spark, tmp_path):
     from neo4j_graph_algorithms_spark import eigenvector_centrality
 
