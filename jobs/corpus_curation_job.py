@@ -1,0 +1,140 @@
+"""spark-submit job: end-to-end training-corpus curation.
+
+    spark-submit --py-files dist/neo4j_graph_algorithms_spark.zip \\
+        jobs/corpus_curation_job.py \\
+        --docs /data/documents --out /data/curated \\
+        [--id-col doc_id] [--text-col text] \\
+        [--langs en] [--min-tokens 16] [--max-mean-token-len 12] \\
+        [--min-stopword-ratio 0.01] \\
+        [--jaccard-threshold 0.8] \\
+        [--probes /data/eval_probes] [--max-contaminated-frac 0.05] \\
+        [--splits 0.98,0.01,0.01] [--salt corpus-v1] \\
+        [--report /data/curation_report]
+
+The standard LLM-corpus curation funnel, each stage an engine
+operator, each stage pruning the next stage's input (the composition
+that holds at 100 TB — nothing corpus-sized is ever shuffled except
+the one (doc, term-stats) aggregate and the dedup tiers' bounded
+candidate joins):
+
+1. **quality gate** (`textstats.quality_stats`): drop docs below
+   ``min_tokens``, above ``max_mean_token_len``, or below
+   ``min_stopword_ratio`` — the C4/Gopher-style cheap filters, one
+   codegen'd scan.
+2. **language filter** (`textstats.language_id`): keep ``--langs``.
+3. **dedup** (`dedup.dedup_exact` → `ngram_jaccard_pairs` →
+   `near_dup_clusters`): exact survivors, LSH-pruned verified near-dup
+   pairs, transitive collapse to one canonical doc per cluster.
+4. **decontamination** (`dedup.contamination_report` against a
+   broadcast probe set): drop docs whose contaminated 13-gram
+   fraction exceeds ``--max-contaminated-frac``.
+5. **deterministic splits** (`sampling.hash_split`): md5-bucket
+   train/val/test assignment — retry/repartition-stable, survives
+   corpus growth.
+
+``--report`` writes one row per stage: rows in, rows out, drop count
+— the curation funnel's lineage record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_graph_algorithms_spark.functions import dedup as dd
+from neo4j_graph_algorithms_spark.functions import sampling as smp
+from neo4j_graph_algorithms_spark.functions import textstats as ts
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.parquet(path)
+        if "/" in path or path.endswith(".parquet")
+        else spark.table(path)
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--langs", default="en")
+    ap.add_argument("--min-tokens", type=int, default=16)
+    ap.add_argument("--max-mean-token-len", type=float, default=12.0)
+    ap.add_argument("--min-stopword-ratio", type=float, default=0.0)
+    ap.add_argument("--jaccard-threshold", type=float, default=0.8)
+    ap.add_argument("--probes", default=None)
+    ap.add_argument("--max-contaminated-frac", type=float, default=0.05)
+    ap.add_argument("--splits", default="0.98,0.01,0.01")
+    ap.add_argument("--salt", default="corpus-v1")
+    ap.add_argument("--report", default=None)
+    args = ap.parse_args()
+    idc, txt = args.id_col, args.text_col
+
+    spark = SparkSession.builder.appName("corpus_curation_job").getOrCreate()
+    docs = _read(spark, args.docs)
+    funnel: list[dict] = []
+
+    def stage(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        n_in, n_out = before.count(), after.count()
+        funnel.append({"stage": name, "rows_in": n_in, "rows_out": n_out,
+                       "dropped": n_in - n_out})
+        print(f"{name}: {n_in} -> {n_out} ({n_in - n_out} dropped)")
+        return after
+
+    # 1. quality gate
+    q = ts.quality_stats(docs, txt, idc)
+    ok = q.filter(
+        (F.col("n_tokens") >= args.min_tokens)
+        & (F.col("mean_token_len") <= args.max_mean_token_len)
+        & (F.col("stopword_ratio") >= args.min_stopword_ratio)
+    ).select(F.col(idc))
+    cur = stage("quality", docs, docs.join(ok, idc, "left_semi"))
+
+    # 2. language filter
+    langs = [x.strip() for x in args.langs.split(",") if x.strip()]
+    lid = ts.language_id(cur, txt, idc).filter(F.col("lang_pred").isin(langs))
+    cur = stage("language", cur, cur.join(lid.select(idc), idc, "left_semi"))
+
+    # 3. dedup: exact -> verified near-dup clusters -> canonical survivor
+    exact = dd.dedup_exact(cur, txt, idc)
+    cur = stage("dedup_exact", cur, exact)
+    pairs = dd.ngram_jaccard_pairs(
+        cur, txt, idc, threshold=args.jaccard_threshold
+    ).select("id_a", "id_b")
+    drop = dd.near_dup_clusters(pairs).filter(~F.col("keep"))
+    cur = stage(
+        "dedup_near",
+        cur,
+        cur.join(drop.select(F.col("doc_id").alias(idc)), idc, "left_anti"),
+    )
+
+    # 4. decontamination vs broadcast eval probes
+    if args.probes:
+        probes = _read(spark, args.probes)
+        rep = dd.contamination_report(cur, probes, text_col=txt, id_col=idc)
+        dirty = rep.filter(
+            F.col("contaminated_frac") > args.max_contaminated_frac
+        ).select(F.col("doc_id").alias(idc))
+        cur = stage("decontamination", cur, cur.join(dirty, idc, "left_anti"))
+
+    # 5. deterministic train/val/test assignment
+    w = [float(x) for x in args.splits.split(",")]
+    names = ["train", "val", "test"] if len(w) == 3 else [str(i) for i in range(len(w))]
+    out = smp.hash_split(cur, dict(zip(names, w)), id_col=idc, salt=args.salt)
+    out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+
+    if args.report:
+        spark.createDataFrame(funnel).coalesce(1).write.mode("overwrite").json(
+            args.report
+        )
+    print("funnel:", json.dumps(funnel))
+
+
+if __name__ == "__main__":
+    main()
