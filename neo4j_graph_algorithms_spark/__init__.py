@@ -26,6 +26,7 @@ from .operators import (
     fastrp,
     conductance,
     k1coloring,
+    katz_centrality,
     topological_levels,
     modularity,
     sample_subgraph,
@@ -51,6 +52,7 @@ __all__ = [
     "fastrp",
     "conductance",
     "k1coloring",
+    "katz_centrality",
     "topological_levels",
     "modularity",
     "sample_subgraph",

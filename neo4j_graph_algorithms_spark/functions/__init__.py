@@ -115,6 +115,8 @@ _PROCEDURES = [
     ("algo.ktruss", "algorithm", "operators.ktruss.k_truss"),
     ("algo.beta.k1coloring", "algorithm", "operators.coloring.k1coloring"),
     ("algo.dag.topologicalSort", "algorithm", "operators.dag.topological_levels"),
+    ("algo.katz", "algorithm", "operators.katz.katz_centrality"),
+    ("algo.katz.stream", "algorithm", "operators.katz.katz_centrality"),
     ("algo.dag.longestPath", "algorithm", "operators.dag.topological_levels"),
     ("algo.beta.k1coloring.stream", "algorithm", "operators.coloring.k1coloring"),
     ("algo.fastRP", "algorithm", "operators.fastrp.fastrp"),

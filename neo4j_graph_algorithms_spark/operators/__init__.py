@@ -4,6 +4,7 @@ from .hits import hits
 from .wcc import wcc, wcc_two_phase
 from .coloring import k1coloring
 from .dag import topological_levels
+from .katz import katz_centrality
 from .ktruss import k_truss
 from .fastrp import fastrp
 from .labelprop import label_propagation
@@ -55,6 +56,7 @@ __all__ = [
     "neighbor_similarity",
     "k1coloring",
     "topological_levels",
+    "katz_centrality",
     "k_core",
     "core_numbers",
     "random_walks",
