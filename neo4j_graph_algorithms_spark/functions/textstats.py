@@ -177,15 +177,20 @@ def tfidf(
     ``tfidf = tf · ln(N / df)`` with N the corpus document count and
     ``df`` the number of distinct documents containing the term.
 
-    100-TB shape: one corpus scan → codegen'd tokenize/explode →
+    100-TB shape: ONE corpus scan → codegen'd tokenize/explode →
     map-side-combined ``groupBy(doc, term)`` (the only corpus-sized
-    shuffle, already collapsed to distinct (doc, term) pairs) → the
-    vocabulary-sized ``df`` table re-aggregates from that same result
-    (no second scan) and joins back broadcast-style.  No Python UDFs,
-    no window functions, no global sort.
+    shuffle, already collapsed to distinct (doc, term) pairs), and the
+    ``tf`` result is lineage-cut so the vocabulary-sized ``df``
+    aggregate and the final join both read it from (spillable
+    serialized) cache instead of re-tokenizing the corpus.  No Python
+    UDFs, no window functions, no global sort.
     """
+    from ..plans.checkpoint import truncate_lineage
+
     terms = term_rows(df, text_col, id_col)
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = truncate_lineage(
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     n_docs = df.count()
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
@@ -219,31 +224,37 @@ def bm25_score(
     ``ln(1 + (N - df + 0.5) / (df + 0.5))`` and
     ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
 
-    100-TB shape: the corpus is scanned ONCE; the query-term filter is
-    an ``isin`` on the exploded tokens (a literal in the codegen'd
-    predicate — nothing survives the scan except hits on the handful of
-    query terms), so the only shuffles aggregate query-hit rows, not
-    the corpus.  Doc length and the corpus aggregates (N, avgdl) come
-    from the same scan's token counts; per-term ``df``/idf is a
-    broadcast-sized table.
+    100-TB shape: exactly TWO tokenizing corpus scans — one cheap
+    global aggregate for (N, avgdl), one hit scan where the query-term
+    filter is an ``isin`` on the exploded tokens (a literal in the
+    codegen'd predicate — nothing survives except hits on the handful
+    of query terms) with the doc length carried inline on each hit row
+    (no third scan, no corpus-side join).  The only shuffles aggregate
+    query-hit rows; per-term ``df``/idf is a broadcast-sized table
+    (lineage-cut, so the hit scan runs once, not per consumer).
     """
+    from ..plans.checkpoint import truncate_lineage
+
     qt = sorted(set(query_terms))
     docs = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         tokens(F.col(text_col)).alias("t"),
     )
-    # per-doc length + per-(doc, query-term) tf from one pass
-    dl = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
-    hits = (
-        docs.select("doc_id", F.explode("t").alias("term"))
-        .filter(F.col("term").isin(qt))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    corpus = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t").cast("long")).alias("sum_dl"),
     ).first()
     n_docs, avgdl = int(corpus["n_docs"]), float(corpus["sum_dl"]) / int(corpus["n_docs"])
+    # hit rows carry dl (functionally dependent on doc_id) through the
+    # aggregate — per_term needs no corpus-side join afterwards
+    hits = truncate_lineage(
+        docs.select(
+            "doc_id", F.size("t").cast("long").alias("dl"), F.explode("t").alias("term")
+        )
+        .filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     docfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -253,10 +264,8 @@ def bm25_score(
     denom = tf + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
     )
-    per_term = (
-        hits.join(F.broadcast(docfreq), "term")
-        .join(dl, "doc_id")
-        .select("doc_id", (idf * (tf * F.lit(k1 + 1.0)) / denom).alias("part"))
+    per_term = hits.join(F.broadcast(docfreq), "term").select(
+        "doc_id", (idf * (tf * F.lit(k1 + 1.0)) / denom).alias("part")
     )
     return per_term.groupBy("doc_id").agg(F.round(F.sum("part"), 6).alias("score"))
 
@@ -276,10 +285,14 @@ def pmi_bigrams(
     100-TB shape: bigrams come from the same slice/arrays_zip
     construction as ``shingle_rows`` (whole-stage codegen, no lambda);
     both counting aggregates are map-side combined, so the exchanges
-    carry vocab- and vocab²-sized data.  The unigram join sides are
-    vocabulary-sized → broadcast; hub tokens are collapsed before any
-    shuffle by the partial aggregate.
+    carry vocab- and vocab²-sized data, and both results are
+    lineage-cut — the totals reads and the final join reuse them
+    instead of re-tokenizing the corpus (two tokenizing scans total).
+    The unigram join sides are vocabulary-sized → broadcast; hub
+    tokens are collapsed before any shuffle by the partial aggregate.
     """
+    from ..plans.checkpoint import truncate_lineage
+
     t = tokens(F.col(text_col))
     pairs = df.select(
         F.explode(
@@ -292,10 +305,14 @@ def pmi_bigrams(
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    uni = term_rows(df, text_col, id_col).groupBy("term").agg(
-        F.count(F.lit(1)).alias("c")
+    uni = truncate_lineage(
+        term_rows(df, text_col, id_col).groupBy("term").agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    big = truncate_lineage(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    )
     totals = uni.agg(F.sum("c").alias("u")).first()
     n_uni = int(totals["u"])
     n_big = big.agg(F.sum("pair_count").alias("b")).first()
