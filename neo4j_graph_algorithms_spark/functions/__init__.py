@@ -116,6 +116,7 @@ _PROCEDURES = [
     ("algo.beta.k1coloring", "algorithm", "operators.coloring.k1coloring"),
     ("algo.dag.topologicalSort", "algorithm", "operators.dag.topological_levels"),
     ("algo.katz", "algorithm", "operators.katz.katz_centrality"),
+    ("algo.graph.generate", "source", "sources.generate.random_edges"),
     ("algo.katz.stream", "algorithm", "operators.katz.katz_centrality"),
     ("algo.dag.longestPath", "algorithm", "operators.dag.topological_levels"),
     ("algo.beta.k1coloring.stream", "algorithm", "operators.coloring.k1coloring"),
@@ -234,6 +235,14 @@ def call(name: str, graph, **config):
     if kind == "procedure":  # algo.list — takes a session, not a graph
         spark = getattr(graph, "spark", graph)
         return algo_list(spark, config.get("query"))
+    if kind == "source":  # generators — take a session, return edges
+        import importlib as _il
+
+        pkg = __name__.rsplit(".", 1)[0]
+        mod_path, attr = impl.rsplit(".", 1)
+        fn = getattr(_il.import_module(f"{pkg}.{mod_path}"), attr)
+        spark = getattr(graph, "spark", graph)
+        return fn(spark, **config)
 
     # resolve the impl path inside this package
     pkg = __name__.rsplit(".", 1)[0]  # neo4j_graph_algorithms_spark

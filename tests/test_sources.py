@@ -222,3 +222,44 @@ def test_graph_store_bucketed_roundtrip(spark, tmp_path):
         assert "Exchange" not in plan2, plan2
     finally:
         spark.sql("DROP TABLE IF EXISTS gstore_rt")
+
+
+def test_random_edges_generator(spark):
+    from neo4j_graph_algorithms_spark.sources import random_edges
+
+    g1 = random_edges(spark, 100, 500, salt="t", skew_k=1)
+    rows1 = sorted((r["src"], r["dst"]) for r in g1.collect())
+    # deterministic across runs and parallelism
+    rows2 = sorted(
+        (r["src"], r["dst"])
+        for r in random_edges(spark, 100, 500, salt="t", skew_k=1)
+        .repartition(7)
+        .collect()
+    )
+    assert rows1 == rows2
+    assert all(s != d for s, d in rows1)
+    assert all(0 <= s < 100 and 0 <= d < 100 for s, d in rows1)
+    # a different salt gives a different graph
+    rows3 = sorted(
+        (r["src"], r["dst"]) for r in random_edges(spark, 100, 500, salt="u").collect()
+    )
+    assert rows1 != rows3
+    # skew_k=3 concentrates degree on low ids: max degree grows
+    from collections import Counter
+
+    def max_deg(k):
+        c = Counter()
+        for r in random_edges(spark, 100, 2000, salt="t", skew_k=k).collect():
+            c[r["src"]] += 1
+            c[r["dst"]] += 1
+        top_id, top = c.most_common(1)[0]
+        return top_id, top
+
+    u_id, u_deg = max_deg(1)
+    s_id, s_deg = max_deg(3)
+    assert s_deg > u_deg  # hubs formed
+    assert s_id < 25      # hubs live at low ids by construction
+    # dedup collapses parallel edges
+    d = random_edges(spark, 10, 2000, salt="t", dedup=True)
+    pairs = [(r["src"], r["dst"]) for r in d.collect()]
+    assert len(pairs) == len(set(pairs)) <= 90
