@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "repeated_spans_docs",  # exact-substring dedup spans
     "contamination_docs",   # broadcast-probe benchmark decontamination
     "minhash_lsh_docs",
+    "bm25_docs",
     "cosine_topk_embeddings",
     "quality_docs",
     "events_window_counts",
