@@ -26,6 +26,7 @@ from .operators import (
     fastrp,
     conductance,
     k1coloring,
+    condensation,
     katz_centrality,
     topological_levels,
     modularity,
@@ -52,6 +53,7 @@ __all__ = [
     "fastrp",
     "conductance",
     "k1coloring",
+    "condensation",
     "katz_centrality",
     "topological_levels",
     "modularity",

@@ -116,6 +116,7 @@ _PROCEDURES = [
     ("algo.beta.k1coloring", "algorithm", "operators.coloring.k1coloring"),
     ("algo.dag.topologicalSort", "algorithm", "operators.dag.topological_levels"),
     ("algo.katz", "algorithm", "operators.katz.katz_centrality"),
+    ("algo.scc.condensation", "algorithm", "operators.scc.condensation"),
     ("algo.graph.generate", "source", "sources.generate.random_edges"),
     ("algo.katz.stream", "algorithm", "operators.katz.katz_centrality"),
     ("algo.dag.longestPath", "algorithm", "operators.dag.topological_levels"),

@@ -17,7 +17,7 @@ from .msbfs import (
     harmonic_centrality,
     all_shortest_paths_unweighted,
 )
-from .scc import scc
+from .scc import condensation, scc
 from .mst import mst, minimum_spanning_forest
 from .betweenness import betweenness_centrality
 from .linkpred import neighbor_similarity
@@ -57,6 +57,7 @@ __all__ = [
     "k1coloring",
     "topological_levels",
     "katz_centrality",
+    "condensation",
     "k_core",
     "core_numbers",
     "random_walks",

@@ -156,3 +156,41 @@ def scc(graph: Graph, max_rounds: int = 10_000) -> SccResult:
             "id", F.col("min_id").alias("scc_id")
         )
     return SccResult(components=assigned, rounds=rounds, metrics=metrics)
+
+
+def condensation(graph: Graph, components: DataFrame | None = None) -> DataFrame:
+    """Condensation (SCC quotient) graph — ``(src, dst, edge_count)``
+    where ``src``/``dst`` are SCC ids and ``edge_count`` is the number
+    of original edges collapsed into the quotient edge.  **Acyclic by
+    construction** (an inter-component cycle would merge the
+    components), so its output feeds directly into
+    :func:`operators.dag.topological_levels` — the standard route from
+    a cyclic graph to a schedulable DAG.
+
+    ``components`` is an ``(id, scc_id)`` labeling (defaults to running
+    :func:`scc`).  Plan: two co-keyed SHUFFLE_HASH label joins + one
+    map-side-combined aggregate — the same shape as modularity's
+    label attach; nothing larger than the edge set is shuffled and the
+    output is quotient-sized.
+    """
+    if components is None:
+        components = scc(graph).components
+    c = components.select("id", "scc_id")
+    e = graph.edges.select("src", "dst")
+    return (
+        e.join(
+            c.select(F.col("id").alias("src"), F.col("scc_id").alias("cs")).hint(
+                "SHUFFLE_HASH"
+            ),
+            "src",
+        )
+        .join(
+            c.select(F.col("id").alias("dst"), F.col("scc_id").alias("cd")).hint(
+                "SHUFFLE_HASH"
+            ),
+            "dst",
+        )
+        .filter(F.col("cs") != F.col("cd"))
+        .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("edge_count"))
+    )

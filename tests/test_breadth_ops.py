@@ -638,6 +638,38 @@ def test_topological_levels_matches_networkx(spark):
         assert got[u] < got[v]
 
 
+def test_condensation_matches_networkx_and_feeds_topo(spark):
+    import networkx as nx
+
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators import (
+        condensation,
+        topological_levels,
+    )
+
+    G = nx.gnm_random_graph(40, 120, seed=9, directed=True)
+    g = Graph.from_edge_list(spark, list(G.edges()))
+    cond = condensation(g)
+    got = {(r["src"], r["dst"]): r["edge_count"] for r in cond.collect()}
+    # networkx condensation (relabel its integer component ids to our
+    # min-member convention)
+    C = nx.condensation(G)
+    min_id = {c: min(C.nodes[c]["members"]) for c in C.nodes()}
+    want = {}
+    for u, v in G.edges():
+        cu, cv = min_id[C.graph["mapping"][u]], min_id[C.graph["mapping"][v]]
+        if cu != cv:
+            want[(cu, cv)] = want.get((cu, cv), 0) + 1
+    assert got == want
+    # quotient is a DAG: topological_levels accepts it (no cycle raise)
+    if got:
+        dag = Graph.from_edges(cond.select("src", "dst"))
+        res = topological_levels(dag)
+        lv = {r["id"]: r["level"] for r in res.levels.collect()}
+        for u, v in got:
+            assert lv[u] < lv[v]
+
+
 def test_topological_levels_cycle_raises(spark):
     from neo4j_graph_algorithms_spark import Graph
     from neo4j_graph_algorithms_spark.operators import topological_levels
