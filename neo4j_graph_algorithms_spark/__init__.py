@@ -27,6 +27,7 @@ from .operators import (
     conductance,
     k1coloring,
     condensation,
+    maximal_independent_set,
     katz_centrality,
     topological_levels,
     modularity,
@@ -54,6 +55,7 @@ __all__ = [
     "conductance",
     "k1coloring",
     "condensation",
+    "maximal_independent_set",
     "katz_centrality",
     "topological_levels",
     "modularity",

@@ -117,6 +117,8 @@ _PROCEDURES = [
     ("algo.dag.topologicalSort", "algorithm", "operators.dag.topological_levels"),
     ("algo.katz", "algorithm", "operators.katz.katz_centrality"),
     ("algo.scc.condensation", "algorithm", "operators.scc.condensation"),
+    ("algo.mis", "algorithm", "operators.mis.maximal_independent_set"),
+    ("algo.mis.stream", "algorithm", "operators.mis.maximal_independent_set"),
     ("algo.graph.generate", "source", "sources.generate.random_edges"),
     ("algo.katz.stream", "algorithm", "operators.katz.katz_centrality"),
     ("algo.dag.longestPath", "algorithm", "operators.dag.topological_levels"),

@@ -5,6 +5,7 @@ from .wcc import wcc, wcc_two_phase
 from .coloring import k1coloring
 from .dag import topological_levels
 from .katz import katz_centrality
+from .mis import maximal_independent_set
 from .ktruss import k_truss
 from .fastrp import fastrp
 from .labelprop import label_propagation
@@ -58,6 +59,7 @@ __all__ = [
     "topological_levels",
     "katz_centrality",
     "condensation",
+    "maximal_independent_set",
     "k_core",
     "core_numbers",
     "random_walks",

@@ -670,6 +670,37 @@ def test_condensation_matches_networkx_and_feeds_topo(spark):
             assert lv[u] < lv[v]
 
 
+def test_mis_independent_maximal_deterministic(spark):
+    import networkx as nx
+
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators import maximal_independent_set
+
+    G = nx.gnm_random_graph(100, 300, seed=17)
+    g = Graph.from_edge_list(spark, list(G.edges()), vertices=range(100))
+    res = maximal_independent_set(g, compute_set_size=True)
+    got = {r["id"]: r["in_set"] for r in res.members.collect()}
+    assert set(got) == set(range(100)) and all(v is not None for v in got.values())
+    S = {v for v, m in got.items() if m}
+    # independence: no edge inside S
+    for u, v in G.edges():
+        assert not (u in S and v in S), (u, v)
+    # maximality: every non-member has a member neighbor
+    for v in range(100):
+        if v not in S:
+            assert any(u in S for u in G.neighbors(v)), v
+    assert res.set_size == len(S)
+    # deterministic across runs
+    got2 = {r["id"]: r["in_set"]
+            for r in maximal_independent_set(g).members.collect()}
+    assert got2 == got
+    # isolated vertex always joins
+    g2 = Graph.from_edge_list(spark, [(0, 1)], vertices=[0, 1, 5])
+    got3 = {r["id"]: r["in_set"]
+            for r in maximal_independent_set(g2).members.collect()}
+    assert got3[5] is True and (got3[0] ^ got3[1])
+
+
 def test_topological_levels_cycle_raises(spark):
     from neo4j_graph_algorithms_spark import Graph
     from neo4j_graph_algorithms_spark.operators import topological_levels
