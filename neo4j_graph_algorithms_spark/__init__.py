@@ -28,6 +28,7 @@ from .operators import (
     k1coloring,
     condensation,
     maximal_independent_set,
+    transitivity,
     katz_centrality,
     topological_levels,
     modularity,
@@ -56,6 +57,7 @@ __all__ = [
     "k1coloring",
     "condensation",
     "maximal_independent_set",
+    "transitivity",
     "katz_centrality",
     "topological_levels",
     "modularity",

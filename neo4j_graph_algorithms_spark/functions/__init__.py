@@ -118,6 +118,7 @@ _PROCEDURES = [
     ("algo.katz", "algorithm", "operators.katz.katz_centrality"),
     ("algo.scc.condensation", "algorithm", "operators.scc.condensation"),
     ("algo.mis", "algorithm", "operators.mis.maximal_independent_set"),
+    ("algo.transitivity", "algorithm", "operators.triangles.transitivity"),
     ("algo.mis.stream", "algorithm", "operators.mis.maximal_independent_set"),
     ("algo.graph.generate", "source", "sources.generate.random_edges"),
     ("algo.katz.stream", "algorithm", "operators.katz.katz_centrality"),

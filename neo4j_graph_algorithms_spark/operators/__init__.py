@@ -9,7 +9,12 @@ from .mis import maximal_independent_set
 from .ktruss import k_truss
 from .fastrp import fastrp
 from .labelprop import label_propagation
-from .triangles import triangle_count, triangle_stream, clustering_coefficients
+from .triangles import (
+    clustering_coefficients,
+    transitivity,
+    triangle_count,
+    triangle_stream,
+)
 from .louvain import conductance, louvain, modularity
 from .sssp import shortest_paths, shortest_path, shortest_path_nodes
 from .msbfs import (
@@ -60,6 +65,7 @@ __all__ = [
     "katz_centrality",
     "condensation",
     "maximal_independent_set",
+    "transitivity",
     "k_core",
     "core_numbers",
     "random_walks",

@@ -178,3 +178,33 @@ def triangle_count(graph: Graph, with_summary: bool = True) -> TriangleCountResu
 def clustering_coefficients(graph: Graph) -> DataFrame:
     """``(id, coefficient)`` convenience view."""
     return triangle_count(graph, with_summary=False).per_node.select("id", "coefficient")
+
+
+def transitivity(graph: Graph) -> DataFrame:
+    """One-row global transitivity —
+    ``(triangles, wedges, transitivity)`` with
+    ``transitivity = 3·#triangles / #wedges`` and
+    ``wedges = Σ_v deg(v)·(deg(v)−1)/2`` over the deduped undirected
+    graph (the "global clustering coefficient" — the closed-wedge
+    fraction, which weights hubs by their wedge count, unlike the
+    per-node average ``triangle_count`` reports).
+
+    Plan: the same degree-oriented wedge join as ``triangle_count``
+    (O(√m) fan-out bound) for the triangle total, plus one
+    map-side-combined degree aggregate for the wedge total — two
+    driver-job scalars, no new shuffle shapes.  Returns 0.0 when the
+    graph has no wedges.
+    """
+    oriented, _ = _oriented_edges(graph)
+    oe = oriented.persist()
+    n_tri = _wedge_triangles(oe).count()
+    row = _undirected_degrees(oe).agg(
+        F.sum(F.col("degree").cast("long") * (F.col("degree") - 1) / 2).alias("w")
+    ).first()
+    oe.unpersist()
+    wedges = int(row["w"] or 0)
+    t = (3.0 * n_tri / wedges) if wedges else 0.0
+    return graph.spark.createDataFrame(
+        [(int(n_tri), wedges, t)],
+        "triangles long, wedges long, transitivity double",
+    )

@@ -62,3 +62,20 @@ def test_no_triangles(spark):
     res = triangle_count(g)
     assert res.triangle_count == 0
     assert res.average_coefficient == 0.0
+
+
+def test_transitivity_matches_networkx(spark):
+    import networkx as nx
+
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators import transitivity
+
+    G = nx.gnm_random_graph(60, 180, seed=21)
+    g = Graph.from_edge_list(spark, list(G.edges()), vertices=range(60))
+    row = transitivity(g).collect()[0]
+    assert row["transitivity"] == pytest.approx(nx.transitivity(G), abs=1e-12)
+    assert row["triangles"] == sum(nx.triangles(G).values()) // 3
+    # wedge-free graph -> 0.0
+    g2 = Graph.from_edge_list(spark, [(0, 1)], vertices=[0, 1])
+    row2 = transitivity(g2).collect()[0]
+    assert row2["transitivity"] == 0.0 and row2["wedges"] == 0
