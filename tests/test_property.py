@@ -262,6 +262,28 @@ def test_k1coloring_proper_random(spark, edges):
     assert res.color_count <= max(d for _, d in G.degree()) + 1, edges
 
 
+@given(edges=edge_strategy)
+@SETTINGS
+def test_mis_independent_and_maximal_random(spark, edges):
+    from neo4j_graph_algorithms_spark.operators import maximal_independent_set
+
+    g = Graph.from_edge_list(spark, edges, vertices=range(N_VERTS))
+    got = {r["id"]: r["in_set"]
+           for r in maximal_independent_set(g).members.collect()}
+    assert set(got) == set(range(N_VERTS))
+    assert all(v is not None for v in got.values())
+    S = {v for v, m in got.items() if m}
+    nbrs = {v: set() for v in range(N_VERTS)}
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    for u, v in edges:
+        assert not (u in S and v in S), (edges, u, v)
+    for v in range(N_VERTS):
+        if v not in S:
+            assert nbrs[v] & S, (edges, v)
+
+
 @given(
     edges=edge_strategy,
     k=st.integers(min_value=3, max_value=5),
