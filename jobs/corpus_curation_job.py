@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from neo4j_graph_algorithms_spark.functions import dedup as dd
 from neo4j_graph_algorithms_spark.functions import sampling as smp
 from neo4j_graph_algorithms_spark.functions import textstats as ts
+from neo4j_graph_algorithms_spark.plans.checkpoint import truncate_lineage
 
 
 def _read(spark: SparkSession, path: str) -> DataFrame:
@@ -79,12 +80,22 @@ def main() -> None:
     spark = SparkSession.builder.appName("corpus_curation_job").getOrCreate()
     docs = _read(spark, args.docs)
     funnel: list[dict] = []
+    # running survivor count: each stage's rows_out is the next stage's
+    # rows_in, so the funnel needs exactly ONE count per stage — and the
+    # survivor set is lineage-cut before counting so later stages (and
+    # the final write) never re-run the upstream funnel (without the cut
+    # every .count() would cascade through tokenize + the dedup joins:
+    # O(stages^2) corpus scans at the 100-TB scale this job targets).
+    n_cur = docs.count()
 
     def stage(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
-        n_in, n_out = before.count(), after.count()
+        nonlocal n_cur
+        after = truncate_lineage(after)
+        n_in, n_out = n_cur, after.count()
         funnel.append({"stage": name, "rows_in": n_in, "rows_out": n_out,
                        "dropped": n_in - n_out})
         print(f"{name}: {n_in} -> {n_out} ({n_in - n_out} dropped)")
+        n_cur = n_out
         return after
 
     # 1. quality gate

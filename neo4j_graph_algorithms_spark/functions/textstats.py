@@ -244,7 +244,10 @@ def bm25_score(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("t").cast("long")).alias("sum_dl"),
     ).first()
-    n_docs, avgdl = int(corpus["n_docs"]), float(corpus["sum_dl"]) / int(corpus["n_docs"])
+    n_docs = int(corpus["n_docs"])
+    if n_docs == 0:  # avgdl undefined on an empty corpus
+        return df.sparkSession.createDataFrame([], "doc_id long, score double")
+    avgdl = float(corpus["sum_dl"]) / n_docs
     # hit rows carry dl (functionally dependent on doc_id) through the
     # aggregate — per_term needs no corpus-side join afterwards
     hits = truncate_lineage(

@@ -48,6 +48,7 @@ cache).
 from __future__ import annotations
 
 import time
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -75,6 +76,9 @@ class ColoringResult:
     load_millis: int = 0
     compute_millis: int = 0
     write_millis: int = 0
+    # False iff max_iterations ran out with uncolored (NULL color)
+    # vertices remaining — the coloring is partial, not proper-complete.
+    converged: bool = True
 
     def stats(self) -> DataFrame:
         """One-row stats YIELD ``(nodes, color_count, iterations, …)``
@@ -138,6 +142,7 @@ def k1coloring(
 
         cap = F.lit(CANDIDATE_CAP).cast("long")
         it = start_iter
+        remaining: int | None = None
         while it < max_iterations:
             it += 1
             t0 = time.time()
@@ -222,6 +227,16 @@ def k1coloring(
 
         both.unpersist()
         colors = state.select("id", "color")
+        if remaining is None:  # zero rounds ran (resume at the cap)
+            remaining = colors.filter(F.col("color").isNull()).count()
+        if remaining > 0:
+            warnings.warn(
+                f"k1coloring: {remaining} vertices still uncolored after "
+                f"{it} rounds — result is PARTIAL (converged=False); "
+                "raise max_iterations",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         kk = None
         if compute_color_count:
             kk = colors.select("color").distinct().count()
@@ -232,4 +247,5 @@ def k1coloring(
         metrics=metrics,
         load_millis=load_millis,
         compute_millis=int(1000 * (time.time() - t_compute0)),
+        converged=remaining == 0,
     )

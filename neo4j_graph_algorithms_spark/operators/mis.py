@@ -34,6 +34,7 @@ the superstep cache).
 from __future__ import annotations
 
 import time
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -54,6 +55,11 @@ class MisResult:
     iterations_ran: int
     set_size: int | None = None
     metrics: list[dict] = field(default_factory=list)
+    # False iff max_iterations ran out with live (NULL in_set) vertices
+    # remaining — those rows are neither independent-verified nor
+    # maximal-covered, so callers must check this before trusting the
+    # set contract.
+    converged: bool = True
 
     def stats(self) -> DataFrame:
         nodes = self.members.count()
@@ -107,6 +113,7 @@ def maximal_independent_set(
         cache.track(state)
 
         it = start_iter
+        remaining: int | None = None
         while it < max_iterations:
             it += 1
             t0 = time.time()
@@ -177,6 +184,16 @@ def maximal_independent_set(
 
         both.unpersist()
         members = state.select("id", "in_set")
+        if remaining is None:  # zero rounds ran (resume at the cap)
+            remaining = members.filter(F.col("in_set").isNull()).count()
+        if remaining > 0:
+            warnings.warn(
+                f"maximal_independent_set: {remaining} vertices still "
+                f"undecided after {it} rounds — result is PARTIAL "
+                "(converged=False); raise max_iterations",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         size = None
         if compute_set_size:
             size = members.filter(F.col("in_set")).count()
@@ -185,4 +202,5 @@ def maximal_independent_set(
         iterations_ran=it,
         set_size=size,
         metrics=metrics,
+        converged=remaining == 0,
     )

@@ -198,11 +198,14 @@ def transitivity(graph: Graph) -> DataFrame:
     oriented, _ = _oriented_edges(graph)
     oe = oriented.persist()
     n_tri = _wedge_triangles(oe).count()
+    # sum d*(d-1) as exact long (each term is even) and halve the
+    # scalar — a double sum loses exactness past 2^53 total wedges,
+    # which hub-heavy graphs reach at the advertised scale
     row = _undirected_degrees(oe).agg(
-        F.sum(F.col("degree").cast("long") * (F.col("degree") - 1) / 2).alias("w")
+        F.sum(F.col("degree").cast("long") * (F.col("degree") - 1)).alias("w")
     ).first()
     oe.unpersist()
-    wedges = int(row["w"] or 0)
+    wedges = int(row["w"] or 0) // 2
     t = (3.0 * n_tri / wedges) if wedges else 0.0
     return graph.spark.createDataFrame(
         [(int(n_tri), wedges, t)],
