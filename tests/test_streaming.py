@@ -256,3 +256,121 @@ def test_streaming_sessions_matches_batch(spark, tmp_path):
         for r in batch
     }
     assert got == want
+
+
+def _sink_state(spark, tmp_path, name, **kw):
+    from neo4j_graph_algorithms_spark.streaming import IncrementalWccSink
+
+    return IncrementalWccSink(spark, str(tmp_path / name), **kw)
+
+
+def _comp_set(df):
+    return {(r["id"], r["set_id"]) for r in df.collect()}
+
+
+def test_incremental_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """The O(touched) contract: a micro-batch rewrites exactly the
+    buckets containing its own vertices; every other bucket's version
+    is carried forward by reference in the manifest."""
+    from pyspark.sql import functions as F
+
+    from neo4j_graph_algorithms_spark import Graph, wcc
+
+    n_buckets = 8
+    sink = _sink_state(spark, tmp_path, "st1", n_buckets=n_buckets)
+    b0 = [(i, i + 100) for i in range(1, 30)]  # spread over all buckets
+    sink(spark.createDataFrame(b0, "src long, dst long"), 0)
+    man0 = sink.manifest()
+    assert man0["metrics"]["buckets_rewritten"] == len(man0["buckets"])
+
+    # batch 1 touches few vertices -> few buckets
+    b1 = [(1, 2), (3, 4)]
+    df1 = spark.createDataFrame(b1, "src long, dst long")
+    verts = {r[0] for r in df1.select("src").collect()} | {
+        r[0] for r in df1.select("dst").collect()
+    }
+    expect_ks = {
+        r["k"]
+        for r in spark.createDataFrame([(v,) for v in verts], "id long")
+        .select(F.pmod(F.xxhash64("id"), F.lit(n_buckets)).alias("k"))
+        .distinct()
+        .collect()
+    }
+    sink(df1, 1)
+    man1 = sink.manifest()
+    assert man1["metrics"]["buckets_rewritten"] == len(expect_ks)
+    rewritten = {int(k) for k, v in man1["buckets"].items() if v == 1}
+    assert rewritten == expect_ks
+    carried = {int(k) for k, v in man1["buckets"].items() if v == 0}
+    assert carried == {int(k) for k in man0["buckets"]} - expect_ks
+
+    # and the maintained view still equals the batch answer
+    full = wcc(Graph.from_edge_list(spark, b0 + b1)).components
+    assert _comp_set(sink.components()) == _comp_set(
+        full.select("id", "set_id")
+    )
+
+
+def test_incremental_sink_redirects_resolve_stale_labels(spark, tmp_path):
+    """Merges are recorded lazily in the redirect log; rows in
+    untouched buckets keep stale labels on disk but the read view
+    resolves them — across several merge generations."""
+    from neo4j_graph_algorithms_spark import Graph, wcc
+
+    sink = _sink_state(spark, tmp_path, "st2", n_buckets=4)
+    batches = [
+        [(1, 2), (3, 4), (10, 11), (20, 21)],
+        [(2, 3)],                 # merge {1,2}+{3,4}
+        [(11, 20)],               # merge {10,11}+{20,21}
+        [(4, 10)],                # merge everything
+        [(30, 31)],               # disjoint new component
+    ]
+    seen = []
+    for i, b in enumerate(batches):
+        seen += b
+        sink(spark.createDataFrame(b, "src long, dst long"), i)
+        full = wcc(Graph.from_edge_list(spark, seen)).components
+        assert _comp_set(sink.components()) == _comp_set(
+            full.select("id", "set_id")
+        ), f"batch {i}"
+    # redirect log is bounded by merges, and fully compressed: every
+    # target is a live root (no entry's new_set appears as an old_set)
+    man = sink.manifest()
+    red = spark.read.parquet(
+        str(tmp_path / "st2" / f"redirects_b{man['redirects']}")
+    )
+    rows = {(r["old_set"], r["new_set"]) for r in red.collect()}
+    olds = {o for o, _ in rows}
+    assert all(n not in olds for _, n in rows), rows
+
+
+def test_incremental_sink_compaction_and_replay(spark, tmp_path):
+    """max_redirects=0 forces the log to fold into the base relation
+    every merge batch (compacted=True, all buckets rewritten, empty
+    log) — and a replayed batch id rebuilds from the prior manifest and
+    overwrites its own outputs idempotently."""
+    from neo4j_graph_algorithms_spark import Graph, wcc
+
+    sink = _sink_state(spark, tmp_path, "st3", n_buckets=4, max_redirects=0)
+    sink(spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long"), 0)
+    df1 = spark.createDataFrame([(2, 3)], "src long, dst long")
+    sink(df1, 1)
+    man = sink.manifest()
+    assert man["metrics"]["compacted"] is True
+    assert man["metrics"]["redirect_rows"] == 0
+    before = _comp_set(sink.components())
+
+    sink(df1, 1)  # replay
+    assert _comp_set(sink.components()) == before
+    full = wcc(
+        Graph.from_edge_list(spark, [(1, 2), (3, 4), (2, 3)])
+    ).components
+    assert before == _comp_set(full.select("id", "set_id"))
+
+    # on-disk rows are fully resolved after compaction (no redirects)
+    base = sink.components(before_batch=None)
+    assert _comp_set(base) == before
+
+    removed = sink.vacuum()
+    assert removed  # old versions dropped
+    assert _comp_set(sink.components()) == before
