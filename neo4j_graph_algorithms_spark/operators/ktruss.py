@@ -1,4 +1,4 @@
-"""k-truss subgraph — iterative support peeling over the wedge join.
+"""k-truss subgraph — support peeling with incremental maintenance.
 
 Beyond-reference (GDS-era ``gds.alpha.ktruss`` shape; the reference
 stops at triangle counting, ``algo/.../TriangleProc.java``): the
@@ -8,17 +8,36 @@ cohesive-core definition (Cohen 2008).  Trusses are the
 triangle-analogue of k-cores: denser, and robust to the single-edge
 bridges that inflate cores.
 
-Spark shape: each peel round re-enumerates triangles on the surviving
-edge set with the same degree-oriented wedge join as
-``operators/triangles.py`` (out-fan bounded by O(√m) per vertex — hub
-skew cannot explode the self-join), scatters each triangle to its
-three member edges, and keeps edges with support ≥ k-2.  Kept ⊆
-current, so an unchanged edge *count* is an exact fixpoint test (no
-checksum needed).  Rounds are bounded by the peeling depth (≤ |E| in
-theory, a handful in practice); each round is a fresh bounded-fan-out
-wedge plan, so the operator holds at 100× — the cost driver is the
-triangle enumeration itself, which is the best known distributed
-truss strategy (one wedge join + one semi join per round).
+Spark shape — one full enumeration, then delta rounds:
+
+- **Round 1** enumerates all triangles once with the degree-oriented
+  wedge join from ``operators/triangles.py`` (out-fan bounded by
+  O(√m) per vertex — hub skew cannot explode the self-join) and seeds
+  a per-edge ``(src, dst, sup)`` support table.
+- **Each peel round** removes the under-supported edges R and — instead
+  of re-enumerating the whole graph — finds exactly the triangles that
+  *died*: for every removed edge, wedges are emitted from its
+  lower-degree endpoint over the surviving+removed adjacency and
+  closed against the opposite endpoint's adjacency.  Dead triangles
+  are deduplicated and their surviving member edges decremented.
+  Per-round work is Σ_{(u,v)∈R} min(deg u, deg v) — proportional to
+  what was removed, not to the graph; an edge whose support did not
+  change is never re-joined.
+- Support never increases under edge removal, so ``R = ∅`` is an exact
+  fixpoint; rounds are bounded by the peeling depth.
+- **Endgame**: once the survivor set fits one task
+  (``local_finish_edges``, default 200k ≈ 5 MB), the remaining peel
+  runs in-process off one bounded collect — peeling is
+  order-confluent, so the asynchronous local peel lands on the same
+  unique maximal subgraph, and a long peeling tail stops paying a
+  multi-job scheduler floor per round.
+
+Correctness of the delta: a triangle of the round-entry edge set
+either keeps all three edges (survives, no support change) or contains
+at least one removed edge — and is then found through that edge's
+wedge, deduplicated across its removed edges, and subtracted exactly
+once from each surviving edge.  Triangles that lost an edge in an
+*earlier* round were already subtracted in that round.
 """
 
 from __future__ import annotations
@@ -31,7 +50,22 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..plans.checkpoint import SuperstepCache, aqe_suspended, truncate_lineage
+from .kcore import k_core
 from .triangles import _wedge_triangles
+
+
+#: delta rounds with at most this many removed edges run fully
+#: broadcast-side (three exchange-free linear scans); bigger removal
+#: sets fall back to SHUFFLE_HASH shapes
+_DELTA_BROADCAST_ROWS = 20_000
+
+#: once the survivor set fits in one task's memory (~5 MB at the
+#: default), finish the peel in-process instead of paying the
+#: per-round driver-job floor (~1-3 s/round on a long peeling tail).
+#: k-truss peeling is order-confluent — the truss is the unique
+#: maximal subgraph with min support, so asynchronous local peeling
+#: returns exactly the synchronous rounds' fixpoint.
+_LOCAL_FINISH_EDGES = 200_000
 
 
 @dataclass
@@ -43,20 +77,29 @@ class KTrussResult:
     metrics: list[dict] = field(default_factory=list)
 
 
-def _orient_by_degree(e: DataFrame) -> DataFrame:
+def _orient_by_degree(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Degree-orient a canonical (src < dst) edge set: low (degree, id)
     endpoint → high, with both endpoint degrees attached — the input
-    shape ``_wedge_triangles`` expects.  Degrees are of the *current*
-    peeled subgraph, recomputed per round."""
-    deg = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    shape ``_wedge_triangles`` expects.  ``deg`` (id, degree) may be
+    passed in to reuse an already-computed aggregate."""
+    if deg is None:
+        deg = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
     j = (
-        e.join(deg.select(F.col("id").alias("src"), F.col("degree").alias("adeg")), "src")
-        .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("bdeg")), "dst")
+        e.join(
+            deg.select(F.col("id").alias("src"), F.col("degree").alias("adeg"))
+            .hint("SHUFFLE_HASH"),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("degree").alias("bdeg"))
+            .hint("SHUFFLE_HASH"),
+            "dst",
+        )
     )
     fwd = (F.col("adeg") < F.col("bdeg")) | (
         (F.col("adeg") == F.col("bdeg")) & (F.col("src") < F.col("dst"))
@@ -69,66 +112,364 @@ def _orient_by_degree(e: DataFrame) -> DataFrame:
     )
 
 
-def k_truss(graph: Graph, k: int, max_iterations: int = 100) -> KTrussResult:
+def _edge_scatter(tri: DataFrame, value_name: str) -> DataFrame:
+    """Scatter each ``(a < b < c)`` triangle to its three canonical
+    member edges and count per edge.
+
+    One ``explode`` pass, NOT a 3-way union of projections: a union
+    would evaluate the (unmaterialized) triangle plan — the Σdeg²-row
+    wedge join — once per branch, tripling the dominant cost."""
+    return (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("a").alias("src"), F.col("c").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias(value_name))
+    )
+
+
+def _local_peel(edges, min_sup: int) -> tuple[list[tuple[int, int]], int]:
+    """Exact in-process truss peel over collected canonical
+    ``(src, dst)`` rows (size-gated by the caller).  Supports are
+    recomputed from scratch over exactly this edge set — the caller's
+    stored supports are relative to the *previous* round's graph, so
+    they cannot seed the peel.  C-side set intersections keep the
+    recompute cheap at the gate size.  Returns (survivor edges, number
+    of edges peeled)."""
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for src, dst in edges:
+        adj.setdefault(src, set()).add(dst)
+        adj.setdefault(dst, set()).add(src)
+    sup: dict[tuple[int, int], int] = {}
+    for src, dst in edges:
+        a, b = (src, dst) if len(adj[src]) <= len(adj[dst]) else (dst, src)
+        sup[(src, dst)] = len(adj[a] & adj[b])
+    queue = deque(e for e, s in sup.items() if s < min_sup)
+    dead = set(queue)
+    while queue:
+        u, v = queue.popleft()
+        adj[u].discard(v)
+        adj[v].discard(u)
+        for w in adj[u] & adj[v]:
+            for e in (
+                (u, w) if u < w else (w, u),
+                (v, w) if v < w else (w, v),
+            ):
+                if e not in dead:
+                    sup[e] -= 1
+                    if sup[e] < min_sup:
+                        dead.add(e)
+                        queue.append(e)
+    return [e for e in sup if e not in dead], len(dead)
+
+
+def k_truss(
+    graph: Graph,
+    k: int,
+    max_iterations: int = 100,
+    local_finish_edges: int = _LOCAL_FINISH_EDGES,
+) -> KTrussResult:
     """Edges of the k-truss of the undirected simple graph.
 
     ``k >= 2``; the 2-truss is the input edge set itself (every edge
     trivially has ≥ 0 triangles).  Returns canonical ``src < dst``
-    rows."""
+    rows.  ``local_finish_edges`` gates the in-process endgame: when
+    the survivor set drops at or below it, the remaining peel runs
+    driver-side in one bounded collect (0 disables)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     spark = graph.spark
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     min_sup = k - 2
     with aqe_suspended(spark):
         cache = SuperstepCache(spark)
+        # no upfront repartition: every downstream join re-shuffles by
+        # its own key (src for degrees, (src,dst) for supports), so a
+        # pre-shuffle by src is pure extra I/O
         edges = truncate_lineage(
-            graph.canonical_undirected_edges()
-            .select("src", "dst")
-            .repartition(n_part, "src")
+            graph.canonical_undirected_edges().select("src", "dst")
         )
         cache.track(edges)
         n_edges = edges.count()
         metrics: list[dict] = []
-        it = 0
-        while it < max_iterations and n_edges > 0 and min_sup > 0:
+        if min_sup <= 0 or n_edges == 0:
+            return KTrussResult(
+                edges=edges, k=k, iterations_ran=0,
+                edge_count=int(n_edges), metrics=metrics,
+            )
+
+        # one degree aggregate up front: it decides the core prefilter,
+        # orients the round-1 wedge join, and steers the removed-edge
+        # wedge side in every delta round (degree staleness after
+        # removals affects cost, never correctness)
+        def _degrees(e: DataFrame) -> DataFrame:
+            # groupBy("id") already leaves the result hash-partitioned
+            # by id — no extra repartition
+            return truncate_lineage(
+                e.select(F.col("src").alias("id"))
+                .union(e.select(F.col("dst").alias("id")))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("degree"))
+            )
+
+        deg = _degrees(edges)
+        cache.track(edges, deg)
+
+        # ---- (k-1)-core prefilter ------------------------------------
+        # Every k-truss edge has >= k-2 triangle partners inside the
+        # truss, so both endpoints have degree >= k-1 there: the truss
+        # is contained in the (k-1)-core.  Degree peeling is orders of
+        # magnitude cheaper than the wedge join, so shrink the graph
+        # with it before paying for triangle enumeration (standard
+        # truss pruning) — but only when the degree table shows
+        # sub-(k-1) vertices at all (one cheap scalar probe; dense
+        # graphs skip the peel entirely).
+        t0 = time.time()
+        if deg.filter(F.col("degree") < k - 1).isEmpty():
+            pass  # min degree already >= k-1: the (k-1)-core is the graph
+        else:
+            core = k_core(Graph(edges), k - 1, check_interval=2)
+            edges = truncate_lineage(core.edges)
+            deg = _degrees(edges)
+            cache.track(edges, deg)
+            n_core = edges.count()
+            metrics.append(
+                {
+                    "algorithm": "k_truss",
+                    "iteration": 0,
+                    "edges": int(n_core),
+                    "removed": int(n_edges - n_core),
+                    "mode": f"core_prefilter(rounds={core.rounds})",
+                    "wall_ms": int(1000 * (time.time() - t0)),
+                }
+            )
+            n_edges = n_core
+            if n_edges == 0:
+                return KTrussResult(
+                    edges=edges, k=k, iterations_ran=0,
+                    edge_count=0, metrics=metrics,
+                )
+
+        # ---- round 1: full enumeration seeds the support table -------
+        it = 1
+        t0 = time.time()
+        ori = truncate_lineage(_orient_by_degree(edges, deg))
+        cache.track(edges, deg, ori)
+        sup0 = _edge_scatter(_wedge_triangles(ori), "sup")
+        es = (
+            edges.join(sup0.hint("SHUFFLE_HASH"), ["src", "dst"], "left")
+            .select(
+                "src", "dst",
+                F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("sup"),
+            )
+        )
+        # one checkpointed support table per round; kept/removed are
+        # filter views over it (the fixpoint count materializes it in
+        # full while its parents are still cached)
+        es = truncate_lineage(es, eager=False)
+        kept = es.filter(F.col("sup") >= min_sup)
+        removed = es.filter(F.col("sup") < min_sup).select("src", "dst")
+        n_kept = kept.count()
+        n_removed = n_edges - n_kept
+        cache.track(es, deg)
+        metrics.append(
+            {
+                "algorithm": "k_truss",
+                "iteration": it,
+                "edges": int(n_kept),
+                "removed": int(n_removed),
+                "wall_ms": int(1000 * (time.time() - t0)),
+            }
+        )
+
+        # ---- peel rounds ----------------------------------------------
+        # Hybrid strategy per round: when the peel removed most of the
+        # graph (early rounds of a high k), re-enumerate the (now much
+        # smaller) survivor set with the degree-oriented wedge join —
+        # its cost tracks the survivors.  When removals are a small
+        # minority (long peeling tails), subtract only the triangles
+        # that died — cost tracks the removals.  Both branches produce
+        # the same table: per-edge support WITHIN the survivor set.
+        while n_removed > 0 and it < max_iterations:
             it += 1
             t0 = time.time()
-            ori = truncate_lineage(_orient_by_degree(edges))
-            cache.track(edges, ori)  # keep both live while kept builds
-            tri = _wedge_triangles(ori)
-            sup = (
-                tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-                .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
-                .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
-                .groupBy("src", "dst")
-                .agg(F.count(F.lit(1)).alias("sup"))
-                .filter(F.col("sup") >= min_sup)
-                .select("src", "dst")
+            if 0 < n_kept <= local_finish_edges:
+                # endgame: survivors fit in one task's memory — one
+                # bounded collect replaces the whole remaining peel
+                # tail (each distributed round costs a multi-job
+                # scheduler floor regardless of data size)
+                survivors, n_dead = _local_peel(
+                    [tuple(r) for r in kept.select("src", "dst").collect()],
+                    min_sup,
+                )
+                kept = spark.createDataFrame(
+                    survivors, "src long, dst long"
+                ) if survivors else spark.createDataFrame([], "src long, dst long")
+                n_kept -= n_dead
+                n_removed = 0
+                metrics.append(
+                    {
+                        "algorithm": "k_truss",
+                        "iteration": it,
+                        "edges": int(n_kept),
+                        "removed": int(n_dead),
+                        "mode": "local_finish",
+                        "wall_ms": int(1000 * (time.time() - t0)),
+                    }
+                )
+                break
+            if n_removed * 4 >= n_kept:
+                # rebuild path — survivors shrank enough to re-enumerate
+                deg = _degrees(kept.select("src", "dst"))
+                cache.track(es, deg)
+                ori = truncate_lineage(
+                    _orient_by_degree(kept.select("src", "dst"), deg)
+                )
+                cache.track(es, deg, ori)
+                sup_k = _edge_scatter(_wedge_triangles(ori), "sup")
+                es2 = (
+                    kept.select("src", "dst")
+                    .join(sup_k.hint("SHUFFLE_HASH"), ["src", "dst"], "left")
+                    .select(
+                        "src", "dst",
+                        F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("sup"),
+                    )
+                )
+                es2 = truncate_lineage(es2, eager=False)
+                new_kept = es2.filter(F.col("sup") >= min_sup)
+                new_removed = es2.filter(F.col("sup") < min_sup).select("src", "dst")
+                n_new_kept = new_kept.count()
+                n_removed = n_kept - n_new_kept
+                cache.track(es2, deg)
+                metrics.append(
+                    {
+                        "algorithm": "k_truss",
+                        "iteration": it,
+                        "edges": int(n_new_kept),
+                        "removed": int(n_removed),
+                        "mode": "rebuild",
+                        "wall_ms": int(1000 * (time.time() - t0)),
+                    }
+                )
+                es, kept, n_kept, removed = es2, new_kept, n_new_kept, new_removed
+                continue
+            # delta path: subtract only the triangles that died.
+            # When the removed set is tiny (the long-tail rounds this
+            # path exists for) every join runs broadcast-side — the
+            # round is three exchange-free linear scans of the edge
+            # set; otherwise the SHUFFLE_HASH shapes below apply.
+            small_delta = n_removed <= _DELTA_BROADCAST_ROWS
+            eprev = kept.select("src", "dst").unionAll(removed)
+            adj = eprev.select(
+                F.col("src").alias("x"), F.col("dst").alias("w")
+            ).unionAll(
+                eprev.select(F.col("dst").alias("x"), F.col("src").alias("w"))
             )
-            kept = truncate_lineage(
-                edges.join(sup.hint("SHUFFLE_HASH"), ["src", "dst"], "left_semi"),
-                eager=False,
+            # orient each removed edge from its lower-degree endpoint
+            if small_delta:
+                rd = (
+                    deg.select(F.col("id").alias("src"), F.col("degree").alias("sd"))
+                    .join(F.broadcast(removed), "src")
+                    .join(
+                        F.broadcast(
+                            deg.select(
+                                F.col("id").alias("dst"), F.col("degree").alias("dd")
+                            )
+                            .join(
+                                F.broadcast(removed.select("dst").distinct()), "dst"
+                            )
+                        ),
+                        "dst",
+                    )
+                )
+            else:
+                rd = (
+                    removed.join(
+                        deg.select(F.col("id").alias("src"), F.col("degree").alias("sd"))
+                        .hint("SHUFFLE_HASH"),
+                        "src",
+                    )
+                    .join(
+                        deg.select(F.col("id").alias("dst"), F.col("degree").alias("dd"))
+                        .hint("SHUFFLE_HASH"),
+                        "dst",
+                    )
+                )
+            lo_first = (F.col("sd") < F.col("dd")) | (
+                (F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst"))
             )
-            n_kept = kept.count()
-            cache.track(kept)
+            rr = rd.select(
+                F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+                F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+            )
+            # wedges from lo over the round-entry adjacency, closed
+            # against hi's adjacency; dedupe triangles found through
+            # several removed edges
+            adj_lo = adj.select(F.col("x").alias("lo"), "w")
+            adj_hi = adj.select(F.col("x").alias("hi"), "w")
+            if small_delta:
+                cand = adj_lo.join(F.broadcast(rr), "lo").filter(
+                    F.col("w") != F.col("hi")
+                )
+                # inner flip of the semi join: each (hi, w) edge occurs
+                # once per direction in adj, so a closing candidate
+                # matches exactly once
+                closed = adj_hi.join(F.broadcast(cand), ["hi", "w"])
+            else:
+                cand = rr.join(adj_lo.hint("SHUFFLE_HASH"), "lo").filter(
+                    F.col("w") != F.col("hi")
+                )
+                closed = cand.join(
+                    adj_hi.hint("SHUFFLE_HASH"), ["hi", "w"], "left_semi"
+                )
+            dead = (
+                closed.select(F.array_sort(F.array("lo", "hi", "w")).alias("t"))
+                .select(
+                    F.col("t")[0].alias("a"),
+                    F.col("t")[1].alias("b"),
+                    F.col("t")[2].alias("c"),
+                )
+                .distinct()
+            )
+            dec = _edge_scatter(dead, "dec")
+            # removed edges fall out here because the join base is kept
+            dec_side = F.broadcast(dec) if small_delta else dec.hint("SHUFFLE_HASH")
+            es2 = (
+                kept.join(dec_side, ["src", "dst"], "left")
+                .select(
+                    "src", "dst",
+                    (F.col("sup") - F.coalesce(F.col("dec"), F.lit(0))).alias("sup"),
+                )
+            )
+            es2 = truncate_lineage(es2, eager=False)
+            new_kept = es2.filter(F.col("sup") >= min_sup)
+            new_removed = es2.filter(F.col("sup") < min_sup).select("src", "dst")
+            n_new_kept = new_kept.count()
+            n_removed = n_kept - n_new_kept
+            cache.track(es2, deg)
             metrics.append(
                 {
                     "algorithm": "k_truss",
                     "iteration": it,
-                    "edges": int(n_kept),
-                    "removed": int(n_edges - n_kept),
+                    "edges": int(n_new_kept),
+                    "removed": int(n_removed),
+                    "mode": "delta",
                     "wall_ms": int(1000 * (time.time() - t0)),
                 }
             )
-            stable = n_kept == n_edges  # kept ⊆ edges → equal count = equal set
-            edges, n_edges = kept, n_kept
-            if stable:
-                break
+            es, kept, n_kept, removed = es2, new_kept, n_new_kept, new_removed
     return KTrussResult(
-        edges=edges,
+        edges=kept.select("src", "dst"),
         k=k,
         iterations_ran=it,
-        edge_count=int(n_edges),
+        edge_count=int(n_kept),
         metrics=metrics,
     )

@@ -15,21 +15,56 @@ def test_ktruss_matches_networkx(spark):
     gnx = nx.gnm_random_graph(80, 400, seed=3)
     g = Graph.from_edge_list(spark, list(gnx.edges()), vertices=range(80))
     for k in (3, 4, 5):
-        assert _edge_set(k_truss(g, k)) == {
+        # local_finish_edges=0 keeps every peel round distributed
+        assert _edge_set(k_truss(g, k, local_finish_edges=0)) == {
             tuple(sorted(e)) for e in nx.k_truss(gnx, k).edges()
         }
 
 
-def test_ktruss_peeling_cascade(spark):
+def test_ktruss_local_finish_matches_distributed(spark):
+    # default gate: after round 1 the survivors fit the in-process
+    # endgame — must return exactly the distributed fixpoint
+    gnx = nx.gnm_random_graph(80, 400, seed=7)
+    g = Graph.from_edge_list(spark, list(gnx.edges()), vertices=range(80))
+    for k in (3, 4):
+        res = k_truss(g, k)
+        assert _edge_set(res) == {
+            tuple(sorted(e)) for e in nx.k_truss(gnx, k).edges()
+        }
+    assert any(m.get("mode") == "local_finish" for m in res.metrics)
+
+
+def test_ktruss_prefilter_collapses_pendant(spark):
     # K4 (a 4-truss) with a pendant triangle hanging off node 3: the
-    # triangle's outer edges have support 1, so the 4-truss peel first
-    # drops them, then the now-unsupported (3,4)/(3,5) remnants.
+    # pendant's outer vertices have degree 2 < k-1 = 3, so the cheap
+    # (k-1)-core prefilter strips them before any wedge join runs.
     k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
     pendant = [(3, 4), (3, 5), (4, 5)]
     g = Graph.from_edge_list(spark, k4 + pendant, vertices=range(6))
     res = k_truss(g, 4)
     assert _edge_set(res) == {tuple(sorted(e)) for e in k4}
+    assert any("core_prefilter" in m.get("mode", "") for m in res.metrics)
+
+
+def test_ktruss_peeling_cascade_delta_rounds(spark):
+    # Two K8 cliques joined by a triangle strip: the strip peels away
+    # over several rounds with small removal sets, so the support
+    # maintenance runs in delta mode (subtract dead triangles) rather
+    # than re-enumerating — and must still match networkx exactly.
+    import itertools
+
+    cl = list(itertools.combinations(range(8), 2))
+    edges = set(cl) | {(a + 20, b + 20) for a, b in cl}
+    for i in range(7, 21):
+        edges.add((i, i + 1))
+        edges.add((i, i + 2))
+    gnx = nx.Graph()
+    gnx.add_edges_from(edges)
+    g = Graph.from_edge_list(spark, sorted(edges), vertices=sorted(gnx.nodes()))
+    res = k_truss(g, 4, local_finish_edges=0)
+    assert _edge_set(res) == {tuple(sorted(e)) for e in nx.k_truss(gnx, 4).edges()}
     assert res.iterations_ran >= 2  # cascade, not a single pass
+    assert any(m.get("mode") == "delta" for m in res.metrics)
 
 
 def test_ktruss_two_is_identity(spark):
