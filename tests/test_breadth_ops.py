@@ -223,6 +223,33 @@ def test_scc_matches_networkx(spark):
         ids = {got[v] for v in comp}
         assert len(ids) == 1, comp
     assert len({got[v] for v in range(7)}) == len(want)
+    # the trim phase peeled {5} and {6}... in fact every singleton
+    assert any(m.get("mode") == "trim" for m in res.metrics)
+
+
+def test_scc_trim_peels_sparse_digraph(spark):
+    # sparse random digraph: most vertices are in singleton SCCs, so
+    # the iterated trim phase must remove the bulk before FW-BW runs —
+    # and the partition must be identical with and without trim
+    gnx = nx.gnm_random_graph(120, 150, seed=11, directed=True)
+    g = Graph.from_edge_list(spark, list(gnx.edges()), vertices=range(120))
+    res = scc(g)
+    res_notrim = scc(g, trim=False)
+    want = list(nx.strongly_connected_components(gnx))
+    for got in (
+        {r["id"]: r["scc_id"] for r in res.components.collect()},
+        {r["id"]: r["scc_id"] for r in res_notrim.components.collect()},
+    ):
+        for comp in want:
+            assert len({got[v] for v in comp}) == 1, comp
+        assert len(set(got.values())) == len(want)
+    trim_assigned = sum(
+        m["assigned"] for m in res.metrics if m.get("mode") == "trim"
+    )
+    assert trim_assigned >= 80  # the bulk fell to the degree filter
+    fwbw_rounds = sum(1 for m in res.metrics if m.get("mode") != "trim")
+    fwbw_rounds_notrim = sum(1 for m in res_notrim.metrics)
+    assert fwbw_rounds <= fwbw_rounds_notrim
 
 
 MST_EDGES = [
