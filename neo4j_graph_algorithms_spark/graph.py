@@ -41,6 +41,7 @@ class Graph:
         vertices: DataFrame | None = None,
         default_weight: float = 1.0,
         src_partitioned: bool = False,
+        symmetrized: bool = False,
     ):
         self.spark: SparkSession = edges.sparkSession
         self.default_weight = float(default_weight)
@@ -51,6 +52,14 @@ class Graph:
         # the projection below is narrow, so Catalyst still sees the
         # scan's HashPartitioning either way.
         self.src_partitioned = bool(src_partitioned)
+        # True when `edges` already holds the undirected message view:
+        # (src, dst) present iff (dst, src) present, and (src, dst)
+        # unique (self-loops may remain; consumers filter them — a
+        # narrow, exchange-free op).  Undirected operators (wcc,
+        # labelPropagation BOTH, triangle family) then skip the
+        # symmetrize union + dedup entirely; combined with
+        # src_partitioned their whole load phase is exchange-free.
+        self.symmetrized = bool(symmetrized)
         cols = edges.columns
         if "weight" not in cols:
             edges = edges.withColumn("weight", F.lit(self.default_weight))
@@ -161,9 +170,15 @@ class Graph:
     # ------------------------------------------------------------------ #
     @property
     def vertices(self) -> DataFrame:
-        """``(id long)`` — provided vertex table, else src ∪ dst."""
+        """``(id long)`` — provided vertex table, else src ∪ dst.
+
+        On a symmetrized graph every vertex appears on the src side, so
+        the dst leg is dropped — and on a bucketed store the distinct
+        reuses the scan's ``HashPartitioning(src)`` with no exchange."""
         if self._vertices is not None:
             return self._vertices
+        if self.symmetrized:
+            return self.edges.select(F.col("src").alias("id")).distinct()
         return (
             self.edges.select(F.col("src").alias("id"))
             .union(self.edges.select(F.col("dst").alias("id")))
@@ -211,12 +226,23 @@ class Graph:
         )
         if dedup:
             both = both.dropDuplicates(["src", "dst"])
-        return Graph(both, vertices=self._vertices, default_weight=self.default_weight)
+        return Graph(
+            both,
+            vertices=self._vertices,
+            default_weight=self.default_weight,
+            symmetrized=dedup,
+        )
 
     def canonical_undirected_edges(self) -> DataFrame:
         """Undirected edge set oriented low→high, deduped, self-loops dropped:
         ``(src < dst)`` — the triangle-counting input (``TriangleProc.java:103-104``
-        loads undirected+sorted+dedup)."""
+        loads undirected+sorted+dedup).
+
+        On a symmetrized graph each unordered pair is already unique per
+        direction, so ``src < dst`` alone selects exactly one canonical
+        row — no dedup shuffle."""
+        if self.symmetrized:
+            return self.edges.select("src", "dst").filter(F.col("src") < F.col("dst"))
         e = self.edges.select(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
@@ -224,11 +250,19 @@ class Graph:
 
     def filter_weight(self, threshold: float) -> "Graph":
         """Keep edges with ``weight >= threshold`` — the unionFind threshold
-        semantics (``GraphUnionFind.java:82-99``, note ``>=``)."""
+        semantics (``GraphUnionFind.java:82-99``, note ``>=``).
+
+        A filter is narrow, so both layout flags survive.  On a
+        symmetrized store the per-pair weight is direction-merged at
+        write time (``save_graph(symmetrize=True)`` keeps ``max``), so
+        the filter keeps or drops both directions together — the
+        symmetry invariant holds."""
         return Graph(
             self.edges.filter(F.col("weight") >= F.lit(float(threshold))),
             vertices=self._vertices,
             default_weight=self.default_weight,
+            src_partitioned=self.src_partitioned,
+            symmetrized=self.symmetrized,
         )
 
     def accumulate_weights(self) -> "Graph":

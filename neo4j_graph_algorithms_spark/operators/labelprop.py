@@ -155,14 +155,25 @@ def _run(
     # Voting edges (voter ← neighbor): neighbor votes for the voter's new
     # label.  OUTGOING: v's neighbors are its out-targets.
     e = graph.edges
-    if direction == OUTGOING:
+    if direction == BOTH and graph.symmetrized:
+        # Symmetrized view (undirected() or load_graph(sym=True)): each
+        # unordered pair is stored both ways already, so ONE orientation
+        # pass enumerates the same votes as the OUT ∪ IN union — and
+        # keyed nbr=src, a bucketed store's HashPartitioning(src) flows
+        # straight into the vote layout.
+        votes_edges = e.select(F.col("dst").alias("voter"), F.col("src").alias("nbr"), "weight")
+        nbr_partitioned = graph.src_partitioned
+    elif direction == OUTGOING:
         votes_edges = e.select(F.col("src").alias("voter"), F.col("dst").alias("nbr"), "weight")
+        nbr_partitioned = False
     elif direction == INCOMING:
         votes_edges = e.select(F.col("dst").alias("voter"), F.col("src").alias("nbr"), "weight")
+        nbr_partitioned = graph.src_partitioned
     elif direction == BOTH:
         votes_edges = e.select(
             F.col("src").alias("voter"), F.col("dst").alias("nbr"), "weight"
         ).union(e.select(F.col("dst").alias("voter"), F.col("src").alias("nbr"), "weight"))
+        nbr_partitioned = False
     else:
         raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction}")
 
@@ -170,9 +181,21 @@ def _run(
     # Persisted hash-partitioned by nbr: the per-superstep scatter join
     # against the id-partitioned labels is then exchange-free, leaving
     # the two-level tally aggregation as the only shuffles.
-    votes_edges = votes_edges.join(
-        weights.withColumnRenamed("id", "nbr"), "nbr"
-    ).select("voter", "nbr", (F.col("weight") * F.col("node_weight")).alias("vote_w"))
+    if nw is None and graph._vertices is None:
+        # Every node weight is the 1.0 default and there is no vertex
+        # table to semi-filter against — the |E| ⋈ |V| weight join is
+        # the identity.  Skip it: vote_w = edge weight, load phase
+        # stays narrow (zero exchanges on a symmetrized store).
+        votes_edges = votes_edges.select(
+            "voter", "nbr", F.col("weight").alias("vote_w")
+        )
+    else:
+        votes_edges = votes_edges.join(
+            weights.withColumnRenamed("id", "nbr").hint("SHUFFLE_HASH"), "nbr"
+        ).select("voter", "nbr", (F.col("weight") * F.col("node_weight")).alias("vote_w"))
+        # the |V|-row build side shuffles to the edge side's layout; the
+        # streamed edge side keeps its clustering (no sort — SHJ, not
+        # SMJ), so nbr_partitioned survives the join
     if storage == "adjacency":
         # CSR-style blocks keyed by the label-carrying side: one row per
         # (nbr, salt) holding its (voter, vote_w) incidences; blocks
@@ -191,7 +214,11 @@ def _run(
         )
     elif storage != "edges":
         raise ValueError(f"storage must be 'adjacency' or 'edges', got {storage!r}")
-    votes_edges = votes_edges.repartition(n_part, "nbr").persist()
+    if storage == "adjacency" or not nbr_partitioned:
+        # salted blocks come out clustered by (nbr, salt); flat rows off
+        # a bucketed symmetrized store are already clustered by nbr
+        votes_edges = votes_edges.repartition(n_part, "nbr")
+    votes_edges = votes_edges.persist()
     votes_edges.count()
 
     metrics: list[dict] = []

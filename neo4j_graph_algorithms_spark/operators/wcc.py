@@ -125,6 +125,57 @@ def wcc(
         )
 
 
+def _message_edges(
+    graph: Graph, g: Graph, n_part: int, storage: str, hub_degree: int
+) -> DataFrame:
+    """Undirected message edges: each edge both ways, deduped,
+    hash-clustered by ``src`` so the per-superstep scatter join against
+    the id-partitioned state needs no exchange (one shuffle per
+    superstep: the gather ``groupBy(dst)``).
+
+    Layout-aware load phase:
+
+    - ``g.symmetrized`` (an ``undirected()`` view or a
+      ``load_graph(sym=True)`` store): the both-ways union and the
+      pair dedup are already materialized — only the narrow self-loop
+      filter remains;
+    - ``g.src_partitioned`` + symmetrized, flat storage: the bucketed
+      scan already reports ``HashPartitioning(src)`` — **zero
+      exchanges in the whole load phase** (the cross-run answer to the
+      one-time edge shuffle, ``sources/graph_store.py``);
+    - general path: one 2|E| shuffle, not two — the pair dedup runs
+      *after* the src repartition, whose ``HashPartitioning(src)``
+      already satisfies the dedup's clustered distribution on
+      ``(src, dst)``.
+    """
+    if g.symmetrized:
+        both = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    else:
+        both = (
+            g.edges.select("src", "dst")
+            .union(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+        )
+    if storage == "adjacency":
+        if not g.symmetrized:
+            both = both.dropDuplicates(["src", "dst"])
+        both = (
+            Graph(both, vertices=graph._vertices)
+            .adjacency(hub_degree=hub_degree, sort_neighbors=False)
+            .select("src", "dsts")
+        )
+        # adjacency blocks come out clustered by (src, salt) — the
+        # scatter join needs src alone, so this repartition stays.
+        return both.repartition(n_part, "src")
+    if storage != "edges":
+        raise ValueError(f"storage must be 'adjacency' or 'edges', got {storage!r}")
+    if not (g.symmetrized and g.src_partitioned):
+        both = both.repartition(n_part, "src")
+    if not g.symmetrized:
+        both = both.dropDuplicates(["src", "dst"])
+    return both
+
+
 def _run(
     graph: Graph,
     g: Graph,
@@ -139,25 +190,8 @@ def _run(
     check_interval: int = 1,
 ) -> WccResult:
     t_load0 = time.time()
-    # Undirected message edges: each edge both ways, deduped; persisted
-    # hash-partitioned by src so the per-superstep scatter join against
-    # the id-partitioned state needs no exchange (one shuffle per
-    # superstep: the gather groupBy(dst)).
-    both = (
-        g.edges.select("src", "dst")
-        .union(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
-    if storage == "adjacency":
-        both = (
-            Graph(both, vertices=graph._vertices)
-            .adjacency(hub_degree=hub_degree, sort_neighbors=False)
-            .select("src", "dsts")
-        )
-    elif storage != "edges":
-        raise ValueError(f"storage must be 'adjacency' or 'edges', got {storage!r}")
-    both = both.repartition(n_part, "src").persist()
+    both = _message_edges(graph, g, n_part, storage, hub_degree)
+    both = both.persist()
     both.count()
 
     # comp init = own id; all vertices start in the frontier.

@@ -37,33 +37,19 @@ import json
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..graph import Graph
 
 _META_FILE = "_graph_store_meta.json"
 
 
-def save_graph(
-    graph: Graph,
-    name: str,
-    path: str,
-    buckets: int | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Persist ``graph.edges`` as an external parquet table bucketed by
-    ``src`` (``buckets`` defaults to the session's shuffle-partition
-    count, matching what operators would have repartitioned to).
-
-    ``sortBy("src")`` keeps each bucket file clustered for cheap
-    per-bucket hash-map builds; parquet min/max on ``src`` then also
-    serves point-lookup pruning."""
-    spark = graph.spark
-    if buckets is None:
-        buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+def _write_bucketed(df, name: str, path: str, buckets: int, mode: str, default_weight: float) -> None:
+    spark = df.sparkSession
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
-        graph.edges.write.format("parquet")
+        df.write.format("parquet")
         .bucketBy(buckets, "src")
         .sortBy("src")
         .option("path", os.path.abspath(path))
@@ -73,20 +59,74 @@ def save_graph(
     meta = {
         "name": name,
         "buckets": int(buckets),
-        "columns": graph.edges.columns,
-        "default_weight": graph.default_weight,
+        "columns": df.columns,
+        "default_weight": default_weight,
     }
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump(meta, f)
 
 
-def load_graph(spark: SparkSession, name: str, path: str | None = None) -> Graph:
+def save_graph(
+    graph: Graph,
+    name: str,
+    path: str,
+    buckets: int | None = None,
+    mode: str = "overwrite",
+    symmetrize: bool = False,
+) -> None:
+    """Persist ``graph.edges`` as an external parquet table bucketed by
+    ``src`` (``buckets`` defaults to the session's shuffle-partition
+    count, matching what operators would have repartitioned to).
+
+    ``sortBy("src")`` keeps each bucket file clustered for cheap
+    per-bucket hash-map builds; parquet min/max on ``src`` then also
+    serves point-lookup pruning.
+
+    ``symmetrize=True`` additionally writes ``{name}_sym`` at
+    ``{path}_sym`` — the undirected message view (each unordered pair
+    both ways, self-loops dropped, per-pair weight merged with ``max``
+    so ``filter_weight`` keeps/drops both directions together; ``max``
+    matches the directed-filter-then-symmetrize semantics of
+    ``GraphUnionFind.java:82-99``).  Undirected operators (wcc,
+    labelPropagation BOTH, triangle family) then load with
+    ``load_graph(..., sym=True)`` and run their entire prep phase with
+    **zero exchanges** — the symmetrize union + dedup + repartition all
+    moved to this one-time write."""
+    spark = graph.spark
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    _write_bucketed(graph.edges, name, path, buckets, mode, graph.default_weight)
+    if symmetrize:
+        e = graph.edges
+        sym = (
+            e.select("src", "dst", "weight")
+            .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.max("weight").alias("weight"))
+        )
+        _write_bucketed(
+            sym, f"{name}_sym", f"{path.rstrip('/')}_sym", buckets, mode, graph.default_weight
+        )
+
+
+def load_graph(
+    spark: SparkSession, name: str, path: str | None = None, sym: bool = False
+) -> Graph:
     """Open a saved graph as a ``Graph`` with ``src_partitioned=True``.
 
-    If ``name`` is missing from the session catalog (fresh session,
+    ``sym=True`` opens the symmetrized companion table written by
+    ``save_graph(symmetrize=True)`` — the returned Graph is flagged
+    ``symmetrized`` as well, so undirected operators skip their whole
+    load-phase shuffle chain.
+
+    If the table is missing from the session catalog (fresh session,
     in-memory catalog) and ``path`` is given, the external bucketed
     table is re-attached from the sidecar metadata — the files are
     never rewritten."""
+    if sym:
+        name = f"{name}_sym"
+        path = None if path is None else f"{path.rstrip('/')}_sym"
     if not spark.catalog.tableExists(name):
         if path is None:
             raise ValueError(
@@ -103,4 +143,4 @@ def load_graph(spark: SparkSession, name: str, path: str | None = None) -> Graph
             f"LOCATION '{os.path.abspath(path)}'"
         )
     edges = spark.table(name)
-    return Graph(edges, src_partitioned=True)
+    return Graph(edges, src_partitioned=True, symmetrized=sym)
