@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,6 +57,87 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
         if "/" in path or path.endswith(".parquet")
         else spark.table(path)
     )
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 16,
+    max_mean_token_len: float = 12.0,
+    min_stopword_ratio: float = 0.0,
+    jaccard_threshold: float = 0.8,
+    probes: DataFrame | None = None,
+    max_contaminated_frac: float = 0.05,
+    splits: dict[str, float] | None = None,
+    salt: str = "corpus-v1",
+) -> tuple[DataFrame, list[dict]]:
+    """Run the curation funnel in-process; returns ``(curated_docs_with_
+    split_column, funnel_report_rows)``.  ``main()`` is the spark-submit
+    wrapper around this; bench.py times this callable directly."""
+    idc, txt = id_col, text_col
+    funnel: list[dict] = []
+    # running survivor count: each stage's rows_out is the next stage's
+    # rows_in, so the funnel needs exactly ONE count per stage — and the
+    # survivor set is lineage-cut before counting so later stages (and
+    # the final write) never re-run the upstream funnel (without the cut
+    # every .count() would cascade through tokenize + the dedup joins:
+    # O(stages^2) corpus scans at the 100-TB scale this job targets).
+    n_cur = docs.count()
+
+    def stage(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        nonlocal n_cur
+        after = truncate_lineage(after)
+        n_in, n_out = n_cur, after.count()
+        funnel.append({"stage": name, "rows_in": n_in, "rows_out": n_out,
+                       "dropped": n_in - n_out})
+        # stderr: callers (bench.py) reserve stdout for machine output
+        print(f"{name}: {n_in} -> {n_out} ({n_in - n_out} dropped)", file=sys.stderr)
+        n_cur = n_out
+        return after
+
+    # 1. quality gate
+    q = ts.quality_stats(docs, txt, idc)
+    ok = q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("mean_token_len") <= max_mean_token_len)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    ).select(F.col(idc))
+    cur = stage("quality", docs, docs.join(ok, idc, "left_semi"))
+
+    # 2. language filter
+    lid = ts.language_id(cur, txt, idc).filter(F.col("lang_pred").isin(list(langs)))
+    cur = stage("language", cur, cur.join(lid.select(idc), idc, "left_semi"))
+
+    # 3. dedup: exact -> verified near-dup clusters -> canonical survivor
+    exact = dd.dedup_exact(cur, txt, idc)
+    cur = stage("dedup_exact", cur, exact)
+    pairs = dd.ngram_jaccard_pairs(
+        cur, txt, idc, threshold=jaccard_threshold
+    ).select("id_a", "id_b")
+    drop = dd.near_dup_clusters(pairs).filter(~F.col("keep"))
+    cur = stage(
+        "dedup_near",
+        cur,
+        cur.join(drop.select(F.col("doc_id").alias(idc)), idc, "left_anti"),
+    )
+
+    # 4. decontamination vs broadcast eval probes
+    if probes is not None:
+        rep = dd.contamination_report(cur, probes, text_col=txt, id_col=idc)
+        dirty = rep.filter(
+            F.col("contaminated_frac") > max_contaminated_frac
+        ).select(F.col("doc_id").alias(idc))
+        cur = stage("decontamination", cur, cur.join(dirty, idc, "left_anti"))
+
+    # 5. deterministic train/val/test assignment
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    out = smp.hash_split(cur, splits, id_col=idc, salt=salt)
+    return out, funnel
 
 
 def main() -> None:
@@ -75,69 +157,25 @@ def main() -> None:
     ap.add_argument("--salt", default="corpus-v1")
     ap.add_argument("--report", default=None)
     args = ap.parse_args()
-    idc, txt = args.id_col, args.text_col
 
     spark = SparkSession.builder.appName("corpus_curation_job").getOrCreate()
-    docs = _read(spark, args.docs)
-    funnel: list[dict] = []
-    # running survivor count: each stage's rows_out is the next stage's
-    # rows_in, so the funnel needs exactly ONE count per stage — and the
-    # survivor set is lineage-cut before counting so later stages (and
-    # the final write) never re-run the upstream funnel (without the cut
-    # every .count() would cascade through tokenize + the dedup joins:
-    # O(stages^2) corpus scans at the 100-TB scale this job targets).
-    n_cur = docs.count()
-
-    def stage(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
-        nonlocal n_cur
-        after = truncate_lineage(after)
-        n_in, n_out = n_cur, after.count()
-        funnel.append({"stage": name, "rows_in": n_in, "rows_out": n_out,
-                       "dropped": n_in - n_out})
-        print(f"{name}: {n_in} -> {n_out} ({n_in - n_out} dropped)")
-        n_cur = n_out
-        return after
-
-    # 1. quality gate
-    q = ts.quality_stats(docs, txt, idc)
-    ok = q.filter(
-        (F.col("n_tokens") >= args.min_tokens)
-        & (F.col("mean_token_len") <= args.max_mean_token_len)
-        & (F.col("stopword_ratio") >= args.min_stopword_ratio)
-    ).select(F.col(idc))
-    cur = stage("quality", docs, docs.join(ok, idc, "left_semi"))
-
-    # 2. language filter
-    langs = [x.strip() for x in args.langs.split(",") if x.strip()]
-    lid = ts.language_id(cur, txt, idc).filter(F.col("lang_pred").isin(langs))
-    cur = stage("language", cur, cur.join(lid.select(idc), idc, "left_semi"))
-
-    # 3. dedup: exact -> verified near-dup clusters -> canonical survivor
-    exact = dd.dedup_exact(cur, txt, idc)
-    cur = stage("dedup_exact", cur, exact)
-    pairs = dd.ngram_jaccard_pairs(
-        cur, txt, idc, threshold=args.jaccard_threshold
-    ).select("id_a", "id_b")
-    drop = dd.near_dup_clusters(pairs).filter(~F.col("keep"))
-    cur = stage(
-        "dedup_near",
-        cur,
-        cur.join(drop.select(F.col("doc_id").alias(idc)), idc, "left_anti"),
-    )
-
-    # 4. decontamination vs broadcast eval probes
-    if args.probes:
-        probes = _read(spark, args.probes)
-        rep = dd.contamination_report(cur, probes, text_col=txt, id_col=idc)
-        dirty = rep.filter(
-            F.col("contaminated_frac") > args.max_contaminated_frac
-        ).select(F.col("doc_id").alias(idc))
-        cur = stage("decontamination", cur, cur.join(dirty, idc, "left_anti"))
-
-    # 5. deterministic train/val/test assignment
     w = [float(x) for x in args.splits.split(",")]
     names = ["train", "val", "test"] if len(w) == 3 else [str(i) for i in range(len(w))]
-    out = smp.hash_split(cur, dict(zip(names, w)), id_col=idc, salt=args.salt)
+    out, funnel = curate(
+        spark,
+        _read(spark, args.docs),
+        id_col=args.id_col,
+        text_col=args.text_col,
+        langs=tuple(x.strip() for x in args.langs.split(",") if x.strip()),
+        min_tokens=args.min_tokens,
+        max_mean_token_len=args.max_mean_token_len,
+        min_stopword_ratio=args.min_stopword_ratio,
+        jaccard_threshold=args.jaccard_threshold,
+        probes=_read(spark, args.probes) if args.probes else None,
+        max_contaminated_frac=args.max_contaminated_frac,
+        splits=dict(zip(names, w)),
+        salt=args.salt,
+    )
     out.write.mode("overwrite").partitionBy("split").parquet(args.out)
 
     if args.report:
