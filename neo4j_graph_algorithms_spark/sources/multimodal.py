@@ -120,6 +120,18 @@ def _image_decode(data: bytes) -> dict:
     return {"feature": _pixels_to_feature(rgb), "frames": 1, "decode_ok": True}
 
 
+def _rms_feature(x: np.ndarray) -> list[float]:
+    """RMS energy over ``AUDIO_FEATURE_DIM`` equal windows of a mono
+    float64 signal — shared by the stdlib and optional-codec decoders so
+    the feature space is identical regardless of codec backend."""
+    k = max(1, math.ceil(len(x) / AUDIO_FEATURE_DIM))
+    rms = []
+    for i in range(AUDIO_FEATURE_DIM):
+        win = x[i * k : (i + 1) * k]
+        rms.append(float(np.sqrt((win ** 2).mean())) if win.size else 0.0)
+    return rms
+
+
 def _audio_decode(data: bytes) -> dict:
     """PCM WAV via stdlib ``wave``: mono-mixed, 16 RMS-energy windows."""
     with wave.open(io.BytesIO(data)) as wv:
@@ -133,12 +145,7 @@ def _audio_decode(data: bytes) -> dict:
         raise ValueError(f"unsupported sample width {sw}")
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
-    k = max(1, math.ceil(len(x) / AUDIO_FEATURE_DIM))
-    rms = []
-    for i in range(AUDIO_FEATURE_DIM):
-        win = x[i * k : (i + 1) * k]
-        rms.append(float(np.sqrt((win ** 2).mean())) if win.size else 0.0)
-    return {"feature": rms, "frames": n, "decode_ok": True}
+    return {"feature": _rms_feature(x), "frames": n, "decode_ok": True}
 
 
 def _unavailable(kind: str) -> Callable[[bytes], dict]:
@@ -160,6 +167,56 @@ DECODERS: dict[str, Callable[[bytes], dict]] = {
 
 def register_decoder(kind: str, fn: Callable[[bytes], dict]) -> None:
     DECODERS[kind] = fn
+
+
+def register_optional_decoders() -> dict[str, bool]:
+    """Best-effort upgrade to real-world codecs, import-guarded
+    (VERDICT r2 item 5): Pillow-backed JPEG/PNG/WebP/GIF image decode
+    and soundfile-backed FLAC/OGG/WAV audio decode, when those
+    libraries exist in the environment.  Returns which backends were
+    registered, e.g. ``{"pillow": True, "soundfile": False}``.
+
+    Feature extraction is IDENTICAL to the stdlib decoders
+    (``_pixels_to_feature`` / ``_rms_feature``), so swapping backends
+    never changes the feature space — only the set of accepted
+    containers.  Absent libraries leave the stdlib BMP/PPM/WAV decoders
+    in place; nothing raises.  The decode closures run inside
+    ``mapInPandas`` workers, which share the driver's Python
+    environment, so the guarded import resolves identically there."""
+    registered = {"pillow": False, "soundfile": False}
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        pass
+    else:
+        def _pil_image_decode(data: bytes) -> dict:
+            with Image.open(io.BytesIO(data)) as im:
+                frames = int(getattr(im, "n_frames", 1))
+                rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
+            return {
+                "feature": _pixels_to_feature(rgb),
+                "frames": frames,
+                "decode_ok": True,
+            }
+
+        register_decoder("image", _pil_image_decode)
+        registered["pillow"] = True
+    try:
+        import soundfile  # noqa: PLC0415
+    except ImportError:
+        pass
+    else:
+        def _sf_audio_decode(data: bytes) -> dict:
+            x, _sr = soundfile.read(
+                io.BytesIO(data), dtype="float64", always_2d=True
+            )
+            n = int(x.shape[0])
+            mono = x.mean(axis=1)
+            return {"feature": _rms_feature(mono), "frames": n, "decode_ok": True}
+
+        register_decoder("audio", _sf_audio_decode)
+        registered["soundfile"] = True
+    return registered
 
 
 # --------------------------------------------------------------------- #

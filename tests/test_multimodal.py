@@ -101,3 +101,76 @@ def test_register_custom_decoder(spark):
         assert out and all(r["decode_ok"] and r["frames"] == 7 for r in out)
     finally:
         mm.register_decoder("video", mm._unavailable("video"))
+
+
+def _has(mod):
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+def test_register_optional_decoders_absent_is_noop(spark):
+    """Without Pillow/soundfile the registration reports False per
+    backend and the stdlib BMP/WAV pipeline keeps working unchanged."""
+    before_img, before_aud = mm.DECODERS["image"], mm.DECODERS["audio"]
+    try:
+        got = mm.register_optional_decoders()
+        assert set(got) == {"pillow", "soundfile"}
+        assert got["pillow"] == _has("PIL")
+        assert got["soundfile"] == _has("soundfile")
+        out = mm.extract_features(mm.synthetic_media(spark, n=6)).collect()
+        assert out and all(r["decode_ok"] for r in out)
+    finally:
+        mm.register_decoder("image", before_img)
+        mm.register_decoder("audio", before_aud)
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="Pillow not installed")
+def test_pillow_decoder_feature_parity_and_png():
+    """Pillow-backed decode of the same BMP bytes yields the same
+    feature vector as the stdlib decoder, and PNG (stdlib-unreadable)
+    decodes once Pillow is registered."""
+    import io as _io
+
+    from PIL import Image
+
+    before = mm.DECODERS["image"]
+    try:
+        got = mm.register_optional_decoders()
+        assert got["pillow"]
+        bmp = mm.make_bmp(3)
+        std = before(bmp)
+        pil = mm.DECODERS["image"](bmp)
+        assert pil["decode_ok"] and std["decode_ok"]
+        assert pil["feature"] == pytest.approx(std["feature"], abs=1e-9)
+        # PNG: stdlib raises, Pillow path decodes the identical pixels
+        with Image.open(_io.BytesIO(bmp)) as im:
+            buf = _io.BytesIO()
+            im.save(buf, format="PNG")
+        png = buf.getvalue()
+        with pytest.raises(ValueError):
+            before(png)
+        out = mm.DECODERS["image"](png)
+        assert out["decode_ok"]
+        assert out["feature"] == pytest.approx(std["feature"], abs=1e-9)
+    finally:
+        mm.register_decoder("image", before)
+
+
+@pytest.mark.skipif(not _has("soundfile"), reason="soundfile not installed")
+def test_soundfile_decoder_feature_parity():
+    """soundfile-backed decode of the same PCM WAV matches the stdlib
+    wave decoder's RMS feature windows."""
+    before = mm.DECODERS["audio"]
+    try:
+        got = mm.register_optional_decoders()
+        assert got["soundfile"]
+        wav = mm.make_wav(5)
+        std = before(wav)
+        sf_ = mm.DECODERS["audio"](wav)
+        assert sf_["decode_ok"] and sf_["frames"] == std["frames"]
+        assert sf_["feature"] == pytest.approx(std["feature"], abs=1e-6)
+    finally:
+        mm.register_decoder("audio", before)
