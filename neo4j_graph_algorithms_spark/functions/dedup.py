@@ -483,6 +483,7 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     two_phase: bool = False,
+    local_finish_edges: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate clustering: connected components over a pair
     table — the step every production dedup pipeline runs after
@@ -506,13 +507,31 @@ def near_dup_clusters(
     duplicate clusters are shallow, so 2-4 in practice) or, for
     adversarial chain topologies, ``two_phase=True`` star contraction
     at O(log n) rounds.  Either way the pair table shuffles on the hash
-    of the doc id per superstep and nothing is ever collected."""
+    of the doc id per superstep and nothing corpus-sized is collected.
+
+    ``local_finish_edges``: the verified pair table is orders of
+    magnitude smaller than the corpus (it lists near-DUPLICATES, not
+    documents); when it fits under this many pairs, wcc's in-process
+    union-find endgame replaces the superstep loop — identical
+    clusters, no per-superstep scheduling floor.  Set 0 to force the
+    distributed loop for arbitrarily large pair tables."""
     from ..graph import Graph
     from ..operators.wcc import wcc, wcc_two_phase
 
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # lineage cut: the pair table is usually the head of an expensive
+    # verification pipeline (simhash bands + hamming filter, LSH +
+    # jaccard joins); wcc's load reads its edge input several times
+    # (symmetrize union, vertex derivation, state init), which would
+    # re-run that whole pipeline per read — materialize once.
+    edges = truncate_lineage(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    )
     g = Graph.from_edges(edges)
-    res = wcc_two_phase(g) if two_phase else wcc(g)
+    res = (
+        wcc_two_phase(g)
+        if two_phase
+        else wcc(g, local_finish_edges=local_finish_edges)
+    )
     return res.components.select(
         F.col("id").alias("doc_id"),
         F.col("set_id").alias("cluster_id"),

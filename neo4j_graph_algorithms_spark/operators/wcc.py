@@ -94,6 +94,7 @@ def wcc(
     storage: str = "edges",
     hub_degree: int = 100_000,
     check_interval: int = 1,
+    local_finish_edges: int = 0,
 ) -> WccResult:
     """Connected components; ``threshold`` keeps only edges with
     ``weight >= threshold`` first (``UnionFindProcExec`` ``"threshold"``
@@ -113,7 +114,18 @@ def wcc(
     ``"adjacency"`` = salted CSR-style blocks ``(src, dsts
     array<long>)`` — one row per active vertex in the scatter join,
     hubs above ``hub_degree`` split across salted rows.  Results are
-    identical (the gather is min over longs — exact)."""
+    identical (the gather is min over longs — exact).
+
+    ``local_finish_edges``: opt-in endgame — if the (symmetrized,
+    deduped) message-edge set holds at most this many undirected pairs,
+    skip the superstep loop and union-find the collected pairs
+    in-process; the vertex relabel stays distributed.  Components and
+    ``set_id`` are identical (unique partition, canonical min-member
+    label); ``iterations_ran`` reports 1 with a ``local_finish``
+    metrics row, so keep the default 0 where superstep-count YIELD
+    parity or durable resume matters.  Same trade as k-truss's
+    local-finish peel: below ~10^6 pairs the distributed loop is pure
+    per-superstep scheduling floor."""
     g = graph if threshold is None else graph.filter_weight(threshold)
     spark = graph.spark
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -121,7 +133,7 @@ def wcc(
         return _run(
             graph, g, n_part, max_iterations, checkpointer,
             checkpoint_interval, broadcast_frontier_rows, compute_set_count,
-            storage, hub_degree, check_interval,
+            storage, hub_degree, check_interval, local_finish_edges,
         )
 
 
@@ -176,6 +188,53 @@ def _message_edges(
     return both
 
 
+def _local_components(graph: Graph, both: DataFrame, n_part: int) -> DataFrame:
+    """In-process union-find over a small symmetric edge set; vertex
+    relabel stays distributed (|V| can exceed the edge threshold).
+
+    Path-halving find + union by pointing at the smaller root's parent
+    chain; canonical ``set_id`` = minimum member id — identical to the
+    distributed min-label fixpoint (the components partition is unique
+    and the labeling is order-confluent)."""
+    import pandas as pd
+
+    pairs = both.filter(F.col("src") < F.col("dst")).collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for row in pairs:
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the root the eventual set_id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    if not parent:
+        return graph.vertices.select("id", F.col("id").alias("set_id"))
+    rows = [(v, find(v)) for v in parent]
+    spark = graph.spark
+    touched = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "set_id"]).astype("int64")
+    )
+    return (
+        graph.vertices.select("id")
+        .join(touched.hint("SHUFFLE_HASH"), "id", "left")
+        .select("id", F.coalesce("set_id", F.col("id")).alias("set_id"))
+    )
+
+
 def _run(
     graph: Graph,
     g: Graph,
@@ -188,11 +247,44 @@ def _run(
     storage: str,
     hub_degree: int,
     check_interval: int = 1,
+    local_finish_edges: int = 0,
 ) -> WccResult:
     t_load0 = time.time()
     both = _message_edges(graph, g, n_part, storage, hub_degree)
     both = both.persist()
-    both.count()
+    n_msg_edges = both.count()
+
+    if (
+        local_finish_edges
+        and checkpointer is None
+        and storage == "edges"
+        and n_msg_edges <= 2 * local_finish_edges
+    ):
+        # Endgame for small edge sets (the near-dup cluster graph, the
+        # tail of a funnel): below the threshold the distributed loop
+        # is pure per-superstep scheduling floor — a single in-process
+        # union-find over the collected pairs produces the SAME unique
+        # partition with the SAME canonical set_id (min member; the
+        # partition is algorithm-independent, labeling is order-
+        # confluent).  Same trade as k-truss's local-finish peel.  The
+        # vertex relabel stays distributed, so |V| ≫ |E| inputs are
+        # fine.  Opt-in (default 0): callers that need superstep
+        # metrics/YIELD parity or durable resume keep the loop.
+        load_millis = int(1000 * (time.time() - t_load0))
+        t_compute0 = time.time()
+        comps = _local_components(graph, both, n_part)
+        both.unpersist()
+        set_count = None
+        if compute_set_count:
+            set_count = comps.select("set_id").distinct().count()
+        return WccResult(
+            comps,
+            iterations_ran=1,
+            set_count=set_count,
+            metrics=[{"mode": "local_finish", "edges": n_msg_edges}],
+            load_millis=load_millis,
+            compute_millis=int(1000 * (time.time() - t_compute0)),
+        )
 
     # comp init = own id; all vertices start in the frontier.
     state = graph.vertices.select("id", F.col("id").alias("comp"))

@@ -118,3 +118,54 @@ def test_wcc_batched_check_interval(spark):
     cb = {r["id"]: r["set_id"] for r in batched.components.collect()}
     assert ce == cb
     assert exact.iterations_ran <= batched.iterations_ran < exact.iterations_ran + 4
+
+
+def test_wcc_local_finish_identical(spark):
+    """local_finish_edges endgame: in-process union-find over the
+    collected pairs yields the identical (id, set_id) relation as the
+    distributed min-label loop — incl. isolated vertices, self-loops,
+    threshold filtering, and compute_set_count."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(i, (i * 17 + 5) % 97, float(1 + i % 4)) for i in range(250)]
+        + [(7, 7, 9.0)],
+        "src long, dst long, weight double",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(120)], "id long")  # isolated ids too
+    g = Graph(edges, vertices=verts.union(edges.select(F.col("src").alias("id"))).distinct())
+
+    base = wcc(g, compute_set_count=True)
+    fast = wcc(g, compute_set_count=True, local_finish_edges=10_000)
+    assert fast.metrics and fast.metrics[0].get("mode") == "local_finish"
+    b = {r["id"]: r["set_id"] for r in base.components.collect()}
+    f = {r["id"]: r["set_id"] for r in fast.components.collect()}
+    assert f == b
+    assert fast.set_count == base.set_count
+
+    bt = {r["id"]: r["set_id"] for r in wcc(g, threshold=3.0).components.collect()}
+    ft = {
+        r["id"]: r["set_id"]
+        for r in wcc(g, threshold=3.0, local_finish_edges=10_000).components.collect()
+    }
+    assert ft == bt
+
+    # above the threshold the distributed loop still runs
+    big = wcc(g, local_finish_edges=10)
+    assert not (big.metrics and big.metrics[0].get("mode") == "local_finish")
+    assert {r["id"]: r["set_id"] for r in big.components.collect()} == b
+
+
+def test_near_dup_clusters_local_finish_parity(spark):
+    from neo4j_graph_algorithms_spark.functions.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    fast = {(r["doc_id"], r["cluster_id"], r["keep"])
+            for r in near_dup_clusters(pairs).collect()}
+    loop = {(r["doc_id"], r["cluster_id"], r["keep"])
+            for r in near_dup_clusters(pairs, local_finish_edges=0).collect()}
+    assert fast == loop
+    assert (1, 1, True) in fast and (3, 1, False) in fast
