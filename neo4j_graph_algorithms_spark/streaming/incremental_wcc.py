@@ -72,8 +72,14 @@ def incremental_wcc_batch(
     max_iterations: int = 100,
 ) -> DataFrame:
     """One micro-batch update: fold ``new_edges (src, dst)`` into the
-    ``(id, set_id)`` table and return the new table.  Pure DataFrame →
-    DataFrame, usable without streaming (e.g. nightly delta loads)."""
+    ``(id, set_id)`` table and return the new table.  DataFrame →
+    DataFrame, usable without streaming (e.g. nightly delta loads).
+    Batch-bounded intermediates (batch labels, merge graph, relabel
+    mapping) are materialized eagerly — cheap, they are batch-sized —
+    so the returned plan references ``components`` exactly ONCE and
+    only through map-side broadcast joins: the history-sized side is
+    never shuffled, sorted, or re-derived, and chaining n folds lazily
+    stays linear in n."""
     spark = new_edges.sparkSession
     if components is None:
         components = spark.createDataFrame([], "id long, set_id long")
@@ -83,41 +89,56 @@ def incremental_wcc_batch(
         .unionByName(new_edges.select(F.col("dst").cast("long").alias("id")))
         .distinct()
     )
-    # current label per batch vertex; unseen vertices seed with own id
-    lab = batch_vertices.join(components, "id", "left").select(
-        "id", F.coalesce("set_id", F.col("id")).alias("set_id")
+    # label lookup with the BATCH side broadcast (same shape as
+    # IncrementalWccSink's bucket read): the components table — the
+    # history-sized side — is scanned once and map-side joined, never
+    # shuffled or sorted; everything exchanged below is batch-bounded.
+    # The batch-bounded intermediates are lineage-cut (cheap — they are
+    # batch-sized) so repeated references below, and across chained
+    # folds, never re-expand the history-sized subtree: the returned
+    # table references `components` exactly once, keeping an n-fold
+    # lazy composition linear in n.
+    seen = truncate_lineage(
+        components.join(F.broadcast(batch_vertices), "id")  # (id, set_id)
     )
+    unseen = truncate_lineage(
+        batch_vertices.join(F.broadcast(seen.select("id")), "id", "left_anti")
+        .select("id", F.col("id").alias("set_id"))
+    )
+    lab = seen.unionByName(unseen)
 
     # contracted edge list over component ids — the only graph the
     # fixpoint sees; its size is bounded by the batch, not the history
     s1 = lab.select(F.col("id").alias("src"), F.col("set_id").alias("s1"))
     s2 = lab.select(F.col("id").alias("dst"), F.col("set_id").alias("s2"))
-    contracted = (
+    contracted = truncate_lineage(
         new_edges.select(F.col("src").cast("long").alias("src"),
                          F.col("dst").cast("long").alias("dst"))
-        .join(s1, "src")
-        .join(s2, "dst")
+        .join(F.broadcast(s1), "src")
+        .join(F.broadcast(s2), "dst")
         .select("s1", "s2")
         .filter(F.col("s1") != F.col("s2"))
         .distinct()
     )
 
     # grow the table with the batch's unseen vertices first
-    grown = components.unionByName(
-        lab.join(components.select("id"), "id", "left_anti")
-    )
+    grown = components.unionByName(unseen)
 
     if contracted.isEmpty():
         return grown
 
-    mapping = (
+    # the merge graph is batch-bounded: below 10^6 merge edges the
+    # in-process union-find endgame replaces the superstep loop
+    mapping = truncate_lineage(
         wcc(Graph.from_edges(contracted, src="s1", dst="s2"),
-            max_iterations=max_iterations)
+            max_iterations=max_iterations, local_finish_edges=1_000_000)
         .components.select(
             F.col("id").alias("set_id"), F.col("set_id").alias("new_set")
         )
     )
-    return grown.join(mapping, "set_id", "left").select(
+    # merges are bounded by the batch → broadcast relabel, map-side
+    # over the history-sized table (mirror of the sink's redirect log)
+    return grown.join(F.broadcast(mapping), "set_id", "left").select(
         "id", F.coalesce("new_set", F.col("set_id")).alias("set_id")
     )
 
