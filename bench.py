@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "tfidf_docs",
     "bm25_docs",
     "pmi_bigrams_docs",
+    "lm_perplexity_docs",   # bigram-LM fluency/quality signal
     "cosine_topk_embeddings",
     "quality_docs",
     "events_window_counts",

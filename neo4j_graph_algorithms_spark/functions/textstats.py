@@ -335,6 +335,109 @@ def pmi_bigrams(
     )
 
 
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """``(doc_id, n_bigrams, cross_entropy, perplexity)`` — per-document
+    bigram language-model perplexity, the CCNet/Gopher-style fluency
+    signal for corpus quality filtering: documents whose token stream
+    is improbable under a corpus-trained n-gram LM (boilerplate, lists,
+    garbled extraction) score high and get filtered.
+
+    Model: add-k-smoothed bigram LM trained on ``train_df`` (defaults
+    to the scored corpus itself — self-scoring, the usual first pass):
+    ``p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` with V the training
+    vocabulary size.  Per document, ``cross_entropy = -(1/n)·Σ ln p``
+    over its n adjacent-token bigrams and ``perplexity = e^H``.
+    Documents with fewer than 2 tokens have no bigrams and are absent
+    from the result (their perplexity is undefined).
+
+    100-TB shape: the per-document bigram multiset is collapsed
+    (``groupBy(doc, w1, w2)``) before any join, so the bigram-count
+    join carries distinct-bigram rows, not token-stream rows; both
+    count aggregates are map-side combined (hub bigrams collapse before
+    the exchange); the unigram side is vocabulary-sized → broadcast;
+    in self-scoring mode the global bigram counts are re-aggregated
+    from the lineage-cut per-doc multiset, so the corpus is tokenized
+    exactly once.
+    """
+    from ..plans.checkpoint import truncate_lineage
+
+    t = tokens(F.col(text_col))
+    bigram_pairs = F.when(
+        F.size(t) >= 2,
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("w1"),
+            F.slice(t, 2, F.size(t) - 1).alias("w2"),
+        ),
+    )
+    doc_pairs = truncate_lineage(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(bigram_pairs).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    if train_df is None:
+        # self-scoring: reuse the collapsed multiset — one tokenize scan
+        big = doc_pairs.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
+        uni = truncate_lineage(
+            term_rows(df, text_col, id_col)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        tp = tokens(F.col(text_col))
+        big = (
+            train_df.select(
+                F.explode(
+                    F.when(
+                        F.size(tp) >= 2,
+                        F.arrays_zip(
+                            F.slice(tp, 1, F.size(tp) - 1).alias("w1"),
+                            F.slice(tp, 2, F.size(tp) - 1).alias("w2"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        uni = truncate_lineage(
+            term_rows(train_df, text_col, id_col)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    vocab = uni.count()
+    # unseen bigram/unigram (only possible with a separate train_df)
+    # backs off to the smoothing mass: c → 0
+    logp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(float(add_k)))
+        / (
+            F.coalesce(F.col("c"), F.lit(0)).cast("double")
+            + F.lit(float(add_k) * float(vocab))
+        )
+    )
+    scored = (
+        doc_pairs.join(big, ["w1", "w2"], "left")
+        .join(F.broadcast(uni.withColumnRenamed("term", "w1")), "w1", "left")
+        .select("doc_id", "m", logp.alias("logp"))
+    )
+    h = -F.sum(F.col("m") * F.col("logp")) / F.sum("m")
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.round(h, 6).alias("cross_entropy"),
+        F.round(F.exp(h), 6).alias("perplexity"),
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",

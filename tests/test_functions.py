@@ -220,6 +220,52 @@ def test_pmi_bigrams_collocation_ranking(spark, docs):
     assert out[("quick", "brown")]["pmi"] == pytest.approx(expect, abs=1e-6)
 
 
+def test_lm_perplexity_matches_hand_computation(spark, docs):
+    out = {r["doc_id"]: r for r in textstats.lm_perplexity(docs).collect()}
+    # independent add-1 bigram LM in plain python
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox leaps over the lazy dog",
+        3: "der hund ist nicht mit der katze und das haus",
+        4: "le chat est dans la maison et pour les amis",
+        5: "zzz qqq xxx",
+    }
+    toks = {d: t.split() for d, t in texts.items()}
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    V = len(uni)
+
+    def h(d):
+        bs = list(zip(toks[d], toks[d][1:]))
+        s = sum(math.log((big[p] + 1.0) / (uni[p[0]] + V)) for p in bs)
+        return -s / len(bs)
+
+    assert set(out) == {0, 1, 2, 3, 4, 5}  # empty doc 6 has no bigrams
+    for d in out:
+        assert out[d]["n_bigrams"] == len(toks[d]) - 1
+        assert out[d]["cross_entropy"] == pytest.approx(h(d), abs=1e-6)
+        assert out[d]["perplexity"] == pytest.approx(math.exp(h(d)), abs=1e-4)
+    # duplicated fluent text scores lower (more probable) than the
+    # one-off garbage doc
+    assert out[0]["perplexity"] < out[5]["perplexity"]
+    # held-out scoring: unseen bigrams back off to the smoothing mass
+    held = spark.createDataFrame(
+        [(9, "fox dans haus")], "doc_id long, text string"
+    )
+    r = textstats.lm_perplexity(held, train_df=docs).collect()[0]
+    exp_h = -(
+        math.log((big.get(("fox", "dans"), 0) + 1.0) / (uni["fox"] + V))
+        + math.log((big.get(("dans", "haus"), 0) + 1.0) / (uni["dans"] + V))
+    ) / 2
+    assert r["cross_entropy"] == pytest.approx(exp_h, abs=1e-6)
+
+
 def test_cosine_topk_exact(spark, vectors):
     out = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
     rows = sorted(out.collect(), key=lambda r: r["rank"])
