@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "bm25_docs",
     "pmi_bigrams_docs",
     "lm_perplexity_docs",   # bigram-LM fluency/quality signal
+    "repetition_docs",      # Gopher within-doc repetition filters
+    "pack_docs",            # token-budget sequence packing
     "cosine_topk_embeddings",
     "quality_docs",
     "events_window_counts",

@@ -130,3 +130,61 @@ def stratified_sample(
         F.lit(int(round(default_fraction * N_BUCKETS))),
     )
     return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    n_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """``(doc_id, shard, seq, n_tokens, tok_offset)`` — token-budget
+    sequence packing, the "group documents into fixed-length training
+    sequences" step of an LLM data pipeline.
+
+    Documents are hash-assigned to ``n_shards`` independent shards,
+    deterministically shuffled within each shard (md5 order key — the
+    usual pre-pack shuffle, stable across runs/engines/retries like
+    everything in this module), then each shard's token stream is
+    treated as one concatenation cut every ``budget`` tokens: a
+    document belongs to the sequence where its first token lands
+    (``seq``), at stream offset ``tok_offset`` within the shard.
+    Downstream writers emit one training sequence per ``(shard, seq)``
+    group; documents straddling a cut are split by the writer at
+    ``budget - tok_offset`` tokens, exactly as GPT-style packing does.
+
+    100-TB shape: the only non-projection work is one window cumsum
+    *partitioned by shard* — no global sort; shards are independent,
+    so parallelism and per-task memory are controlled by ``n_shards``
+    (size it so one shard's (id, count) pairs fit a task — the window
+    carries two longs per doc, not the text).  All-integer outputs,
+    exact under any engine."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql import Window as W
+
+    from .textstats import token_count
+
+    tc = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else token_count(F.col(text_col))
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        hash_bucket(F.col(id_col), salt, n_shards).alias("shard"),
+        hash_bucket(F.col(id_col), salt + ":order").alias("okey"),
+        tc.alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("okey", "doc_id")
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "shard",
+        F.floor(before / F.lit(budget)).cast("long").alias("seq"),
+        "n_tokens",
+        (before % F.lit(budget)).cast("long").alias("tok_offset"),
+    )

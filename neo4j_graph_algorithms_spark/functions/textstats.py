@@ -476,3 +476,49 @@ def winnowing_fingerprints(
         .select("doc_id", "fp")
     )
 
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Per-document within-doc repetition signals (the Gopher/MassiveText
+    repetition filters): for each n in ``ns``,
+
+    - ``top{n}gram_frac`` — fraction of the document's n-gram
+      occurrences taken by its single most frequent n-gram;
+    - ``dup{n}gram_frac`` — fraction of n-gram occurrences whose n-gram
+      appears more than once in the document.
+
+    Boilerplate, keyword-stuffed, and template-generated pages score
+    high and get filtered before training.  Documents with fewer than
+    ``min(ns)`` tokens produce no row; an n with too few tokens yields
+    NULL for that n's pair.
+
+    100-TB shape: one corpus scan per n (the codegen'd ``shingle_rows``
+    construction — a fused scan+explode+partial-aggregate, nothing
+    corpus-sized shuffles: the exchanges carry per-doc distinct-gram
+    counts, collapsed map-side).  The cross-n join is doc-count-sized.
+    """
+    if not ns:
+        raise ValueError("ns must be non-empty")
+    out: DataFrame | None = None
+    for n in sorted(ns):
+        per = (
+            shingle_rows(df, text_col, id_col, n)
+            .groupBy("id", "s")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        tot = F.sum("c").cast("double")
+        agg = per.groupBy("id").agg(
+            F.round(F.max("c") / tot, 6).alias(f"top{n}gram_frac"),
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))) / tot,
+                6,
+            ).alias(f"dup{n}gram_frac"),
+        )
+        out = agg if out is None else out.join(agg, "id", "left")
+    assert out is not None
+    return out.withColumnRenamed("id", "doc_id")

@@ -266,6 +266,32 @@ def test_lm_perplexity_matches_hand_computation(spark, docs):
     assert r["cross_entropy"] == pytest.approx(exp_h, abs=1e-6)
 
 
+def test_repetition_stats_hand_computation(spark):
+    rows = [
+        (0, "a b a b a b"),          # "a b" 3x of 5 bigrams, all dup'd except "b a"? no: b a appears 2x
+        (1, "one two three four five"),  # all n-grams unique
+        (2, "x"),                    # <2 tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert set(out) == {0, 1}
+    # doc 0 bigrams: ab ba ab ba ab -> counts {ab:3, ba:2}; top=3/5, dup=5/5
+    assert out[0]["top2gram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    assert out[0]["dup2gram_frac"] == pytest.approx(1.0, abs=1e-6)
+    # doc 0 trigrams: aba bab aba bab -> {aba:2, bab:2}; top=2/4, dup=1.0
+    assert out[0]["top3gram_frac"] == pytest.approx(0.5, abs=1e-6)
+    assert out[0]["dup3gram_frac"] == pytest.approx(1.0, abs=1e-6)
+    # doc 1: everything unique
+    assert out[1]["top2gram_frac"] == pytest.approx(1 / 4, abs=1e-6)
+    assert out[1]["dup2gram_frac"] == 0.0
+    assert out[1]["top4gram_frac"] == pytest.approx(1 / 2, abs=1e-6)
+    # a doc with 2 tokens has bigram stats but NULL tri/quad stats
+    short = spark.createDataFrame([(9, "p q")], "doc_id long, text string")
+    r = textstats.repetition_stats(short).collect()[0]
+    assert r["top2gram_frac"] == 1.0
+    assert r["top3gram_frac"] is None and r["dup4gram_frac"] is None
+
+
 def test_cosine_topk_exact(spark, vectors):
     out = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
     rows = sorted(out.collect(), key=lambda r: r["rank"])

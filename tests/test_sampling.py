@@ -67,3 +67,53 @@ def test_validation_errors(spark, ids):
         smp.hash_split(ids, {})
     with pytest.raises(ValueError):
         smp.stratified_sample(ids, {"a": 2.0}, strata_col="doc_id")
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + i % 37))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = smp.pack_sequences(df, budget=100, n_shards=4).collect()
+    assert len(out) == 300
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for shard, rs in by_shard.items():
+        # reconstruct the stream: offsets within a (shard, seq) are a
+        # contiguous token stream cut every `budget` tokens
+        rs = sorted(rs, key=lambda r: (r["seq"], r["tok_offset"]))
+        stream = 0
+        for r in rs:
+            assert r["seq"] == stream // 100
+            assert r["tok_offset"] == stream % 100
+            stream += r["n_tokens"]
+        total = sum(r["n_tokens"] for r in rs)
+        assert stream == total
+        # every sequence index up to the last is populated (no gaps)
+        seqs = {r["seq"] for r in rs}
+        assert seqs == set(range(max(seqs) + 1))
+
+
+def test_pack_sequences_deterministic_and_growth_stable(spark):
+    rows = [(i, "a b c d e f g h") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: (r["shard"], r["seq"], r["tok_offset"])
+         for r in smp.pack_sequences(df, budget=32, n_shards=4).collect()}
+    b = {r["doc_id"]: (r["shard"], r["seq"], r["tok_offset"])
+         for r in smp.pack_sequences(df, budget=32, n_shards=4).collect()}
+    assert a == b
+    # shard assignment is per-id stable when the corpus grows
+    grown = spark.createDataFrame(
+        rows + [(1000 + i, "x y z") for i in range(50)],
+        "doc_id long, text string",
+    )
+    g = {r["doc_id"]: r["shard"]
+         for r in smp.pack_sequences(grown, budget=32, n_shards=4).collect()}
+    for d, (shard, _, _) in a.items():
+        assert g[d] == shard
+
+
+def test_pack_sequences_validation(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        smp.pack_sequences(df, budget=0)
