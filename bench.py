@@ -124,7 +124,8 @@ def main() -> None:
     probes = docs.orderBy("doc_id").limit(20).select("doc_id", "text")
     t0 = time.time()
     curated, funnel = curate(
-        spark, docs, min_tokens=5, probes=probes, max_contaminated_frac=0.5
+        spark, docs, min_tokens=5, probes=probes, max_contaminated_frac=0.5,
+        max_dup2gram_frac=0.25, max_perplexity=37.0,
     )
     curated.count()
     timings["corpus_curation_job"] = round(time.time() - t0, 3)

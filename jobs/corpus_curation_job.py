@@ -21,6 +21,10 @@ candidate joins):
    ``min_tokens``, above ``max_mean_token_len``, or below
    ``min_stopword_ratio`` — the C4/Gopher-style cheap filters, one
    codegen'd scan.
+1b. **repetition gate** (`textstats.repetition_stats`, enabled by
+   ``--max-dup2gram-frac`` / ``--max-top3gram-frac``): drop
+   template/boilerplate pages by duplicated-2-gram / top-3-gram
+   occurrence fraction — the Gopher repetition rules.
 2. **language filter** (`textstats.language_id`): keep ``--langs``.
 3. **dedup** (`dedup.dedup_exact` → `ngram_jaccard_pairs` →
    `near_dup_clusters`): exact survivors, LSH-pruned verified near-dup
@@ -28,6 +32,10 @@ candidate joins):
 4. **decontamination** (`dedup.contamination_report` against a
    broadcast probe set): drop docs whose contaminated 13-gram
    fraction exceeds ``--max-contaminated-frac``.
+4b. **LM fluency gate** (`textstats.lm_perplexity`, enabled by
+   ``--max-perplexity``): drop docs whose bigram-LM perplexity —
+   trained on the surviving corpus — exceeds the threshold (the
+   CCNet-style filter).
 5. **deterministic splits** (`sampling.hash_split`): md5-bucket
    train/val/test assignment — retry/repartition-stable, survives
    corpus growth.
@@ -70,8 +78,11 @@ def curate(
     max_mean_token_len: float = 12.0,
     min_stopword_ratio: float = 0.0,
     jaccard_threshold: float = 0.8,
+    max_dup2gram_frac: float | None = None,
+    max_top3gram_frac: float | None = None,
     probes: DataFrame | None = None,
     max_contaminated_frac: float = 0.05,
+    max_perplexity: float | None = None,
     splits: dict[str, float] | None = None,
     salt: str = "corpus-v1",
 ) -> tuple[DataFrame, list[dict]]:
@@ -108,6 +119,22 @@ def curate(
     ).select(F.col(idc))
     cur = stage("quality", docs, docs.join(ok, idc, "left_semi"))
 
+    # 1b. repetition gate (Gopher/MassiveText template-page rules)
+    if max_dup2gram_frac is not None or max_top3gram_frac is not None:
+        ns = tuple(
+            n
+            for n, thr in ((2, max_dup2gram_frac), (3, max_top3gram_frac))
+            if thr is not None
+        )
+        rep = ts.repetition_stats(cur, txt, idc, ns=ns)
+        bad = F.lit(False)
+        if max_dup2gram_frac is not None:
+            bad = bad | (F.col("dup2gram_frac") > max_dup2gram_frac)
+        if max_top3gram_frac is not None:
+            bad = bad | (F.col("top3gram_frac") > max_top3gram_frac)
+        drop = rep.filter(bad).select(F.col("doc_id").alias(idc))
+        cur = stage("repetition", cur, cur.join(drop, idc, "left_anti"))
+
     # 2. language filter
     lid = ts.language_id(cur, txt, idc).filter(F.col("lang_pred").isin(list(langs)))
     cur = stage("language", cur, cur.join(lid.select(idc), idc, "left_semi"))
@@ -133,6 +160,15 @@ def curate(
         ).select(F.col("doc_id").alias(idc))
         cur = stage("decontamination", cur, cur.join(dirty, idc, "left_anti"))
 
+    # 4b. LM fluency gate (CCNet-style), trained on the survivors so the
+    # model reflects the cleaned distribution, not the junk it removed
+    if max_perplexity is not None:
+        ppl = ts.lm_perplexity(cur, txt, idc)
+        wild = ppl.filter(F.col("perplexity") > max_perplexity).select(
+            F.col("doc_id").alias(idc)
+        )
+        cur = stage("perplexity", cur, cur.join(wild, idc, "left_anti"))
+
     # 5. deterministic train/val/test assignment
     if splits is None:
         splits = {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -151,8 +187,11 @@ def main() -> None:
     ap.add_argument("--max-mean-token-len", type=float, default=12.0)
     ap.add_argument("--min-stopword-ratio", type=float, default=0.0)
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
+    ap.add_argument("--max-dup2gram-frac", type=float, default=None)
+    ap.add_argument("--max-top3gram-frac", type=float, default=None)
     ap.add_argument("--probes", default=None)
     ap.add_argument("--max-contaminated-frac", type=float, default=0.05)
+    ap.add_argument("--max-perplexity", type=float, default=None)
     ap.add_argument("--splits", default="0.98,0.01,0.01")
     ap.add_argument("--salt", default="corpus-v1")
     ap.add_argument("--report", default=None)
@@ -171,8 +210,11 @@ def main() -> None:
         max_mean_token_len=args.max_mean_token_len,
         min_stopword_ratio=args.min_stopword_ratio,
         jaccard_threshold=args.jaccard_threshold,
+        max_dup2gram_frac=args.max_dup2gram_frac,
+        max_top3gram_frac=args.max_top3gram_frac,
         probes=_read(spark, args.probes) if args.probes else None,
         max_contaminated_frac=args.max_contaminated_frac,
+        max_perplexity=args.max_perplexity,
         splits=dict(zip(names, w)),
         salt=args.salt,
     )

@@ -22,6 +22,9 @@ def tiny_corpus(spark, tmp_path):
     rows.append((201, ""))
     # non-English
     rows.append((300, "der hund ist nicht mit der katze und das haus " * 4))
+    # pure template/boilerplate page for the repetition gate
+    # (top3gram_frac = 1.0 — every trigram is "spam spam spam")
+    rows.append((305, "spam " * 40))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     path = str(tmp_path / "docs")
     docs.write.parquet(path)
@@ -46,7 +49,9 @@ def test_corpus_curation_job(spark, tiny_corpus, tmp_path, monkeypatch):
             "--out", out,
             "--probes", probes_path,
             "--min-tokens", "5",
+            "--max-top3gram-frac", "0.5",
             "--max-contaminated-frac", "0.5",
+            "--max-perplexity", "1000000",
             "--report", rep,
             "--splits", "0.8,0.1,0.1",
         ],
@@ -62,6 +67,8 @@ def test_corpus_curation_job(spark, tiny_corpus, tmp_path, monkeypatch):
     # exact dedup kept the min-id survivor of each duplicate pair
     assert 0 in ids and 100 not in ids
     assert 1 in ids and 101 not in ids
+    # repetition gate dropped the template page
+    assert 305 not in ids
     # decontamination dropped the probe-identical doc
     assert 5 not in ids
     # splits partitioned and complete
@@ -75,10 +82,16 @@ def test_corpus_curation_job(spark, tiny_corpus, tmp_path, monkeypatch):
         with open(os.path.join(rep, f)) as fh:
             rows += [json.loads(line) for line in fh if line.strip()]
     stages = {r["stage"]: r for r in rows}
-    assert set(stages) == {
-        "quality", "language", "dedup_exact", "dedup_near", "decontamination"
-    }
-    order = ["quality", "language", "dedup_exact", "dedup_near", "decontamination"]
+    order = [
+        "quality", "repetition", "language", "dedup_exact", "dedup_near",
+        "decontamination", "perplexity",
+    ]
+    assert set(stages) == set(order)
     for a, b in zip(order, order[1:]):
         assert stages[a]["rows_out"] == stages[b]["rows_in"]
-    assert stages["decontamination"]["rows_out"] == curated.count()
+    # the template page fell at the repetition gate specifically
+    assert stages["repetition"]["dropped"] == 1
+    # the wide-open perplexity threshold dropped nothing (gate exercised,
+    # drop semantics unit-tested in test_functions)
+    assert stages["perplexity"]["dropped"] == 0
+    assert stages["perplexity"]["rows_out"] == curated.count()
