@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "lm_perplexity_docs",   # bigram-LM fluency/quality signal
     "repetition_docs",      # Gopher within-doc repetition filters
     "pack_docs",            # token-budget sequence packing
+    "profile_docs",         # corpus quality-metric distribution profile
     "cosine_topk_embeddings",
     "quality_docs",
     "events_window_counts",

@@ -522,3 +522,57 @@ def repetition_stats(
         out = agg if out is None else out.join(agg, "id", "left")
     assert out is not None
     return out.withColumnRenamed("id", "doc_id")
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """``(metric, n, mean, p50, p90, p99)`` — corpus-level distribution
+    profile of the per-document quality metrics (``quality_stats``):
+    the dataset-card statistics a training-data pipeline publishes and
+    the inputs for choosing filter thresholds.
+
+    ``approx=False`` uses exact ``percentile`` — collection-based, for
+    validation / small-to-medium corpora and the DuckDB oracle.
+    **The 100-TB path is ``approx=True``** (``percentile_approx``,
+    a fixed-size sketch with bounded rank error, mergeable map-side),
+    because exact percentiles hold per-metric value multisets in
+    aggregation memory.  Everything else is one pass over the
+    doc-count-sized metrics frame either way.
+    """
+    from ..plans.checkpoint import truncate_lineage
+
+    metrics = ["n_chars", "n_tokens", "mean_token_len", "space_ratio", "stopword_ratio"]
+    stats = truncate_lineage(
+        quality_stats(df, text_col, id_col).select(
+            *[F.col(m).cast("double").alias(m) for m in metrics]
+        )
+    )
+    aggs = []
+    for m in metrics:
+        c = F.col(m)
+        aggs.append(F.count(c).alias(f"{m}__n"))
+        aggs.append(F.round(F.avg(c), 6).alias(f"{m}__mean"))
+        if approx:
+            pf = F.percentile_approx(c, list(qs), 10_000)
+        else:
+            pf = F.percentile(c, F.array(*[F.lit(q) for q in qs]))
+        aggs.append(pf.alias(f"{m}__q"))
+    row = stats.agg(*aggs)
+    structs = []
+    for m in metrics:
+        fields = [
+            F.lit(m).alias("metric"),
+            F.col(f"{m}__n").cast("long").alias("n"),
+            F.col(f"{m}__mean").alias("mean"),
+        ]
+        for i, q in enumerate(qs):
+            fields.append(
+                F.round(F.col(f"{m}__q")[i], 6).alias(f"p{int(round(q * 100))}")
+            )
+        structs.append(F.struct(*fields))
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -292,6 +292,30 @@ def test_repetition_stats_hand_computation(spark):
     assert r["top3gram_frac"] is None and r["dup4gram_frac"] is None
 
 
+def test_corpus_profile_exact_quantiles(spark, docs):
+    out = {r["metric"]: r for r in textstats.corpus_profile(docs).collect()}
+    assert set(out) == {
+        "n_chars", "n_tokens", "mean_token_len", "space_ratio", "stopword_ratio"
+    }
+    # independent reference: numpy linear-interpolation quantiles over
+    # the same per-doc token counts (7 docs incl. the empty one)
+    import numpy as np
+
+    n_tokens = [9, 9, 9, 10, 10, 3, 0]
+    r = out["n_tokens"]
+    assert r["n"] == 7
+    assert r["mean"] == pytest.approx(np.mean(n_tokens), abs=1e-6)
+    for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        assert r[col] == pytest.approx(
+            float(np.quantile(n_tokens, p)), abs=1e-6
+        ), (p, col)
+    # approx path returns the same shape with sane values
+    ap = {r["metric"]: r for r in textstats.corpus_profile(docs, approx=True).collect()}
+    assert set(ap) == set(out)
+    assert ap["n_tokens"]["n"] == 7
+    assert 0 <= ap["n_tokens"]["p50"] <= 10
+
+
 def test_cosine_topk_exact(spark, vectors):
     out = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
     rows = sorted(out.collect(), key=lambda r: r["rank"])
