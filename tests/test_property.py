@@ -302,3 +302,82 @@ def test_k_truss_matches_networkx(spark, edges, k):
     G.add_edges_from(edges)
     want = {tuple(sorted(e)) for e in nx.k_truss(G, k).edges()}
     assert got == want, (edges, k)
+
+
+# --- text-pipeline properties: random tiny corpora, engine vs plain python ---
+
+word_strategy = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+doc_strategy = st.lists(word_strategy, min_size=0, max_size=12).map(" ".join)
+corpus_strategy = st.lists(doc_strategy, min_size=1, max_size=8)
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_lm_perplexity_matches_brute_force(spark, texts):
+    import math
+
+    from neo4j_graph_algorithms_spark.functions import textstats as ts
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ts.lm_perplexity(df).collect()}
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for p in zip(t, t[1:]):
+            big[p] = big.get(p, 0) + 1
+    V = len(uni)
+    expect_ids = {i for i, t in toks.items() if len(t) >= 2}
+    assert set(got) == expect_ids, texts
+    for i in expect_ids:
+        bs = list(zip(toks[i], toks[i][1:]))
+        h = -sum(math.log((big[p] + 1.0) / (uni[p[0]] + V)) for p in bs) / len(bs)
+        assert got[i]["n_bigrams"] == len(bs)
+        assert abs(got[i]["cross_entropy"] - h) < 1e-6, (texts, i)
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_repetition_stats_matches_brute_force(spark, texts):
+    from collections import Counter
+
+    from neo4j_graph_algorithms_spark.functions import textstats as ts
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ts.repetition_stats(df).collect()}
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    assert set(got) == {i for i, t in toks.items() if len(t) >= 2}, texts
+    for i, r in got.items():
+        for n in (2, 3, 4):
+            grams = [" ".join(toks[i][j:j + n]) for j in range(len(toks[i]) - n + 1)]
+            top = r[f"top{n}gram_frac"]
+            dup = r[f"dup{n}gram_frac"]
+            if not grams:
+                assert top is None and dup is None, (texts, i, n)
+                continue
+            c = Counter(grams)
+            tot = sum(c.values())
+            assert abs(top - max(c.values()) / tot) < 1e-6, (texts, i, n)
+            assert abs(dup - sum(v for v in c.values() if v > 1) / tot) < 1e-6
+
+
+@given(texts=corpus_strategy, budget=st.integers(min_value=1, max_value=20))
+@SETTINGS
+def test_pack_sequences_stream_reconstruction(spark, texts, budget):
+    from neo4j_graph_algorithms_spark.functions import sampling as smp
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = smp.pack_sequences(df, budget=budget, n_shards=3).collect()
+    assert len(rows) == len(texts)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rs in by_shard.values():
+        rs = sorted(rs, key=lambda r: (r["seq"], r["tok_offset"], r["doc_id"]))
+        stream = 0
+        for r in rs:
+            assert r["seq"] == stream // budget, (texts, budget)
+            assert r["tok_offset"] == stream % budget
+            stream += r["n_tokens"]
