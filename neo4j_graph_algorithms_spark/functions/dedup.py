@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..plans.checkpoint import truncate_lineage
 from .textstats import shingle_rows, tokens
@@ -526,16 +527,64 @@ def near_dup_clusters(
     edges = truncate_lineage(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     )
+    numeric = isinstance(
+        edges.schema["src"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    mapping = None
+    if not numeric:
+        # non-numeric doc ids: dense-remap through the engine's IdMap
+        # (zipWithIndex — no global sort), run WCC on longs, map back.
+        # cluster_id stays "min ORIGINAL id of the group" via one
+        # post-WCC min-aggregate, since the dense order is arbitrary.
+        ids = (
+            edges.select(F.col("src").alias("orig"))
+            .union(edges.select(F.col("dst").alias("orig")))
+            .distinct()
+        )
+        # explicit schema: empty pair tables must not trip inference
+        map_schema = T.StructType(
+            [
+                T.StructField("orig", edges.schema["src"].dataType),
+                T.StructField("nid", T.LongType()),
+            ]
+        )
+        mapping = truncate_lineage(
+            edges.sparkSession.createDataFrame(
+                ids.rdd.map(lambda r: r[0]).zipWithIndex(), map_schema
+            )
+        )
+        edges = (
+            edges.join(mapping.withColumnRenamed("orig", "src"), "src")
+            .select(F.col("nid").alias("src"), "dst")
+            .join(mapping.withColumnRenamed("orig", "dst"), "dst")
+            .select("src", F.col("nid").alias("dst"))
+        )
     g = Graph.from_edges(edges)
     res = (
         wcc_two_phase(g)
         if two_phase
         else wcc(g, local_finish_edges=local_finish_edges)
     )
-    return res.components.select(
-        F.col("id").alias("doc_id"),
-        F.col("set_id").alias("cluster_id"),
-        (F.col("id") == F.col("set_id")).alias("keep"),
+    comp = res.components
+    if mapping is None:
+        return comp.select(
+            F.col("id").alias("doc_id"),
+            F.col("set_id").alias("cluster_id"),
+            (F.col("id") == F.col("set_id")).alias("keep"),
+        )
+    labeled = comp.join(
+        mapping.select(F.col("nid").alias("id"), F.col("orig").alias("doc_id")),
+        "id",
+    )
+    canon = labeled.groupBy("set_id").agg(F.min("doc_id").alias("cluster_id"))
+    return (
+        labeled.join(canon, "set_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
     )
 
 

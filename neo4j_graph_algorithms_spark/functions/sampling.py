@@ -160,8 +160,11 @@ def pack_sequences(
     *partitioned by shard* — no global sort; shards are independent,
     so parallelism and per-task memory are controlled by ``n_shards``
     (size it so one shard's (id, count) pairs fit a task — the window
-    carries two longs per doc, not the text).  All-integer outputs,
-    exact under any engine."""
+    carries two longs per doc, not the text).  All-integer offsets,
+    exact under any engine; ids pass through untouched (any orderable
+    type).  Assumes ids are unique (like every assignment in this
+    module); the explicit ROWS frame keeps accidental duplicate-id
+    rows from becoming window peers with identical offsets."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     from pyspark.sql import Window as W
@@ -174,12 +177,16 @@ def pack_sequences(
         else token_count(F.col(text_col))
     )
     base = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         hash_bucket(F.col(id_col), salt, n_shards).alias("shard"),
         hash_bucket(F.col(id_col), salt + ":order").alias("okey"),
         tc.alias("n_tokens"),
     )
-    w = W.partitionBy("shard").orderBy("okey", "doc_id")
+    w = (
+        W.partitionBy("shard")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     before = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return base.select(
         "doc_id",

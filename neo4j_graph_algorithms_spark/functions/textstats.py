@@ -296,18 +296,7 @@ def pmi_bigrams(
     """
     from ..plans.checkpoint import truncate_lineage
 
-    t = tokens(F.col(text_col))
-    pairs = df.select(
-        F.explode(
-            F.when(
-                F.size(t) >= 2,
-                F.arrays_zip(
-                    F.slice(t, 1, F.size(t) - 1).alias("w1"),
-                    F.slice(t, 2, F.size(t) - 1).alias("w2"),
-                ),
-            )
-        ).alias("p")
-    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = bigram_rows(df, text_col, id_col=None)
     uni = truncate_lineage(
         term_rows(df, text_col, id_col).groupBy("term").agg(
             F.count(F.lit(1)).alias("c")
@@ -335,6 +324,33 @@ def pmi_bigrams(
     )
 
 
+def bigram_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+) -> DataFrame:
+    """``(doc_id?, w1, w2)`` — one row per adjacent-token bigram
+    occurrence (``id_col=None`` drops the id for corpus-global
+    consumers).  Same slice + arrays_zip + explode construction as
+    ``shingle_rows`` — whole-stage codegen, no higher-order lambdas.
+    Docs with fewer than 2 tokens produce no rows."""
+    t = tokens(F.col(text_col))
+    zipped = F.when(
+        F.size(t) >= 2,
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("w1"),
+            F.slice(t, 2, F.size(t) - 1).alias("w2"),
+        ),
+    )
+    head = [F.col(id_col).alias("doc_id")] if id_col is not None else []
+    out = df.select(*head, F.explode(zipped).alias("p"))
+    return out.select(
+        *(["doc_id"] if id_col is not None else []),
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+    )
+
+
 def lm_perplexity(
     df: DataFrame,
     text_col: str = "text",
@@ -354,38 +370,30 @@ def lm_perplexity(
     vocabulary size.  Per document, ``cross_entropy = -(1/n)·Σ ln p``
     over its n adjacent-token bigrams and ``perplexity = e^H``.
     Documents with fewer than 2 tokens have no bigrams and are absent
-    from the result (their perplexity is undefined).
+    from the result (their perplexity is undefined).  Ids pass through
+    untouched (any orderable type).
 
     100-TB shape: the per-document bigram multiset is collapsed
     (``groupBy(doc, w1, w2)``) before any join, so the bigram-count
     join carries distinct-bigram rows, not token-stream rows; both
     count aggregates are map-side combined (hub bigrams collapse before
-    the exchange); the unigram side is vocabulary-sized → broadcast;
-    in self-scoring mode the global bigram counts are re-aggregated
-    from the lineage-cut per-doc multiset, so the corpus is tokenized
-    exactly once.
+    the exchange); the unigram side is vocabulary-sized → broadcast.
+    Two tokenizing scans of the scored corpus in self-scoring mode
+    (bigram multiset + unigram counts — same budget as
+    ``pmi_bigrams``); the multiset is lineage-cut there because the
+    global bigram counts and the scored join both read it.
     """
     from ..plans.checkpoint import truncate_lineage
 
-    t = tokens(F.col(text_col))
-    bigram_pairs = F.when(
-        F.size(t) >= 2,
-        F.arrays_zip(
-            F.slice(t, 1, F.size(t) - 1).alias("w1"),
-            F.slice(t, 2, F.size(t) - 1).alias("w2"),
-        ),
-    )
-    doc_pairs = truncate_lineage(
-        df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(bigram_pairs).alias("p"),
-        )
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    doc_pairs = (
+        bigram_rows(df, text_col, id_col)
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("m"))
     )
     if train_df is None:
-        # self-scoring: reuse the collapsed multiset — one tokenize scan
+        # self-scoring: the collapsed multiset feeds BOTH the global
+        # bigram counts and the scored join -> cut it once
+        doc_pairs = truncate_lineage(doc_pairs)
         big = doc_pairs.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
         uni = truncate_lineage(
             term_rows(df, text_col, id_col)
@@ -393,20 +401,8 @@ def lm_perplexity(
             .agg(F.count(F.lit(1)).alias("c"))
         )
     else:
-        tp = tokens(F.col(text_col))
         big = (
-            train_df.select(
-                F.explode(
-                    F.when(
-                        F.size(tp) >= 2,
-                        F.arrays_zip(
-                            F.slice(tp, 1, F.size(tp) - 1).alias("w1"),
-                            F.slice(tp, 2, F.size(tp) - 1).alias("w2"),
-                        ),
-                    )
-                ).alias("p")
-            )
-            .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            bigram_rows(train_df, text_col, id_col=None)
             .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).alias("cb"))
         )
@@ -542,15 +538,12 @@ def corpus_profile(
     a fixed-size sketch with bounded rank error, mergeable map-side),
     because exact percentiles hold per-metric value multisets in
     aggregation memory.  Everything else is one pass over the
-    doc-count-sized metrics frame either way.
+    doc-count-sized metrics frame either way (single consumer — no
+    lineage cut, the one agg reads the scan directly).
     """
-    from ..plans.checkpoint import truncate_lineage
-
     metrics = ["n_chars", "n_tokens", "mean_token_len", "space_ratio", "stopword_ratio"]
-    stats = truncate_lineage(
-        quality_stats(df, text_col, id_col).select(
-            *[F.col(m).cast("double").alias(m) for m in metrics]
-        )
+    stats = quality_stats(df, text_col, id_col).select(
+        *[F.col(m).cast("double").alias(m) for m in metrics]
     )
     aggs = []
     for m in metrics:

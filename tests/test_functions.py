@@ -316,6 +316,35 @@ def test_corpus_profile_exact_quantiles(spark, docs):
     assert 0 <= ap["n_tokens"]["p50"] <= 10
 
 
+def test_string_ids_through_text_pipeline(spark):
+    """The curation surface is id-type-agnostic: string doc ids flow
+    through scoring, packing, and clustering without numeric casts."""
+    df = spark.createDataFrame(
+        [("docA", "the quick brown fox"), ("docB", "spam spam spam"),
+         ("docC", "one two three four")],
+        "doc_id string, text string",
+    )
+    assert {r["doc_id"] for r in textstats.lm_perplexity(df).collect()} == {
+        "docA", "docB", "docC"
+    }
+    assert textstats.repetition_stats(df).count() == 3
+    from neo4j_graph_algorithms_spark.functions import sampling as smp
+
+    packed = smp.pack_sequences(df, budget=8, n_shards=2).collect()
+    assert {r["doc_id"] for r in packed} == {"docA", "docB", "docC"}
+    # near-dup clustering dense-remaps non-numeric ids through the
+    # engine's IdMap; cluster_id = min ORIGINAL id, chain collapsed
+    pairs = spark.createDataFrame(
+        [("docB", "docA"), ("docB", "docC")], "id_a string, id_b string"
+    )
+    out = {r["doc_id"]: r for r in dedup.near_dup_clusters(pairs).collect()}
+    assert all(out[d]["cluster_id"] == "docA" for d in ("docA", "docB", "docC"))
+    assert out["docA"]["keep"] and not out["docB"]["keep"]
+    # empty pair table: no inference crash, empty result
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    assert dedup.near_dup_clusters(empty).collect() == []
+
+
 def test_cosine_topk_exact(spark, vectors):
     out = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
     rows = sorted(out.collect(), key=lambda r: r["rank"])

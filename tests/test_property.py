@@ -375,7 +375,12 @@ def test_pack_sequences_stream_reconstruction(spark, texts, budget):
     for r in rows:
         by_shard.setdefault(r["shard"], []).append(r)
     for rs in by_shard.values():
-        rs = sorted(rs, key=lambda r: (r["seq"], r["tok_offset"], r["doc_id"]))
+        # (seq, offset) admits ties only between zero-token docs and the
+        # one advancing doc at that offset — sorting the zero-token docs
+        # first reconstructs a valid stream regardless of engine order
+        rs = sorted(
+            rs, key=lambda r: (r["seq"], r["tok_offset"], r["n_tokens"], r["doc_id"])
+        )
         stream = 0
         for r in rs:
             assert r["seq"] == stream // budget, (texts, budget)
