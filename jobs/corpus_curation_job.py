@@ -99,7 +99,7 @@ def curate(
     # O(stages^2) corpus scans at the 100-TB scale this job targets).
     n_cur = docs.count()
 
-    def stage(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
+    def stage(name: str, after: DataFrame) -> DataFrame:
         nonlocal n_cur
         after = truncate_lineage(after)
         n_in, n_out = n_cur, after.count()
@@ -117,7 +117,7 @@ def curate(
         & (F.col("mean_token_len") <= max_mean_token_len)
         & (F.col("stopword_ratio") >= min_stopword_ratio)
     ).select(F.col(idc))
-    cur = stage("quality", docs, docs.join(ok, idc, "left_semi"))
+    cur = stage("quality", docs.join(ok, idc, "left_semi"))
 
     # 1b. repetition gate (Gopher/MassiveText template-page rules)
     if max_dup2gram_frac is not None or max_top3gram_frac is not None:
@@ -133,22 +133,21 @@ def curate(
         if max_top3gram_frac is not None:
             bad = bad | (F.col("top3gram_frac") > max_top3gram_frac)
         drop = rep.filter(bad).select(F.col("doc_id").alias(idc))
-        cur = stage("repetition", cur, cur.join(drop, idc, "left_anti"))
+        cur = stage("repetition", cur.join(drop, idc, "left_anti"))
 
     # 2. language filter
     lid = ts.language_id(cur, txt, idc).filter(F.col("lang_pred").isin(list(langs)))
-    cur = stage("language", cur, cur.join(lid.select(idc), idc, "left_semi"))
+    cur = stage("language", cur.join(lid.select(idc), idc, "left_semi"))
 
     # 3. dedup: exact -> verified near-dup clusters -> canonical survivor
     exact = dd.dedup_exact(cur, txt, idc)
-    cur = stage("dedup_exact", cur, exact)
+    cur = stage("dedup_exact", exact)
     pairs = dd.ngram_jaccard_pairs(
         cur, txt, idc, threshold=jaccard_threshold
     ).select("id_a", "id_b")
     drop = dd.near_dup_clusters(pairs).filter(~F.col("keep"))
     cur = stage(
         "dedup_near",
-        cur,
         cur.join(drop.select(F.col("doc_id").alias(idc)), idc, "left_anti"),
     )
 
@@ -158,7 +157,7 @@ def curate(
         dirty = rep.filter(
             F.col("contaminated_frac") > max_contaminated_frac
         ).select(F.col("doc_id").alias(idc))
-        cur = stage("decontamination", cur, cur.join(dirty, idc, "left_anti"))
+        cur = stage("decontamination", cur.join(dirty, idc, "left_anti"))
 
     # 4b. LM fluency gate (CCNet-style), trained on the survivors so the
     # model reflects the cleaned distribution, not the junk it removed
@@ -167,7 +166,7 @@ def curate(
         wild = ppl.filter(F.col("perplexity") > max_perplexity).select(
             F.col("doc_id").alias(idc)
         )
-        cur = stage("perplexity", cur, cur.join(wild, idc, "left_anti"))
+        cur = stage("perplexity", cur.join(wild, idc, "left_anti"))
 
     # 5. deterministic train/val/test assignment
     if splits is None:

@@ -484,7 +484,7 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     two_phase: bool = False,
-    local_finish_edges: int = 1_000_000,
+    local_finish_edges: int = 200_000,
 ) -> DataFrame:
     """Near-duplicate clustering: connected components over a pair
     table — the step every production dedup pipeline runs after
@@ -514,8 +514,11 @@ def near_dup_clusters(
     magnitude smaller than the corpus (it lists near-DUPLICATES, not
     documents); when it fits under this many pairs, wcc's in-process
     union-find endgame replaces the superstep loop — identical
-    clusters, no per-superstep scheduling floor.  Set 0 to force the
-    distributed loop for arbitrarily large pair tables."""
+    clusters, no per-superstep scheduling floor.  The endgame
+    collect()s the pair rows to the driver, so the default (200k
+    pairs, a few tens of MB of driver heap) is deliberately
+    conservative; raise it only with driver memory to spare, or set 0
+    to force the fully distributed loop for any size."""
     from ..graph import Graph
     from ..operators.wcc import wcc, wcc_two_phase
 

@@ -218,14 +218,24 @@ class Graph:
 
     def undirected(self, dedup: bool = True) -> "Graph":
         """Direction BOTH / ``asUndirected(true)`` (``GraphLoader.java:136-139``):
-        each edge materialized both ways; optional dedup."""
+        each edge materialized both ways; optional dedup.
+
+        Dedup merges per-pair weights with ``max`` — the same
+        direction-merge ``save_graph(symmetrize=True)`` applies at
+        write time — so both directions of a pair always carry the SAME
+        weight and a downstream ``filter_weight`` keeps or drops the
+        pair atomically (``>= t`` on the max ⟺ directed-filter-then-
+        symmetrize, the engine's threshold semantics).  A plain
+        ``dropDuplicates`` here would keep an arbitrary per-direction
+        weight and let a later threshold filter break the symmetry the
+        ``symmetrized`` flag promises."""
         both = self.edges.union(
             self.edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
             )
         )
         if dedup:
-            both = both.dropDuplicates(["src", "dst"])
+            both = both.groupBy("src", "dst").agg(F.max("weight").alias("weight"))
         return Graph(
             both,
             vertices=self._vertices,

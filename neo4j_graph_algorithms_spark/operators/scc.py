@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import truncate_lineage
+from ..plans.checkpoint import SuperstepCache, truncate_lineage
 
 
 @dataclass
@@ -49,8 +49,17 @@ class SccResult:
 
 
 def _propagate_max(edges: DataFrame, init: DataFrame, along_src_to_dst: bool) -> DataFrame:
-    """Fixpoint max-propagation of ``color`` along edge direction."""
+    """Fixpoint max-propagation of ``color`` along edge direction.
+
+    Each superstep's checkpoint is retired once its successor is fully
+    materialized (the changed-count is a full scan, not an early-exit
+    isEmpty, precisely so the lazy checkpoint is complete before the
+    predecessor is unpersisted) — steady-state cache is O(1)
+    supersteps, not O(coloring depth).  The final state's checkpoint is
+    left cached for the caller (who retires it with its own cache)."""
+    cache = SuperstepCache(edges.sparkSession)
     state = truncate_lineage(init)
+    cache.track(state)
     while True:
         if along_src_to_dst:
             msgs = (
@@ -82,7 +91,9 @@ def _propagate_max(edges: DataFrame, init: DataFrame, along_src_to_dst: bool) ->
             (F.coalesce(F.col("cand"), F.col("color")) > F.col("color")).alias("changed"),
         )
         nxt = truncate_lineage(nxt, eager=False)
-        if nxt.filter(F.col("changed")).isEmpty():
+        changed = nxt.filter(F.col("changed")).count()  # full materialize
+        cache.track(nxt)
+        if changed == 0:
             return nxt.select("id", "color")
         state = nxt.select("id", "color")
 
@@ -93,6 +104,13 @@ def scc(graph: Graph, max_rounds: int = 10_000, trim: bool = True) -> SccResult:
     active_v = truncate_lineage(graph.vertices.select("id"))
     assigned = None
     metrics: list[dict] = []
+    # state cache: retires the previous (assigned, active_v, active_edges)
+    # checkpoints once their successors are materialized; tmp cache:
+    # per-round transients (trivial / colors / in_scc).  Without these a
+    # long trim/peel run pins one |E|-sized checkpoint per iteration.
+    state_cache = SuperstepCache(spark)
+    tmp_cache = SuperstepCache(spark)
+    state_cache.track(active_v, active_edges)
     rounds = 0
     while rounds < max_rounds and not active_v.isEmpty():
         rounds += 1
@@ -133,6 +151,10 @@ def scc(graph: Graph, max_rounds: int = 10_000, trim: bool = True) -> SccResult:
                         trivial.withColumnRenamed("id", "src"), "src", "left_anti"
                     ).join(trivial.withColumnRenamed("id", "dst"), "dst", "left_anti")
                 )
+                # successors fully materialized (eager cuts) -> retire
+                # the previous iteration's state + trivial checkpoints
+                state_cache.track(assigned, active_v, active_edges)
+                tmp_cache.track(trivial)
             if trimmed:
                 metrics.append(
                     {
@@ -162,6 +184,9 @@ def scc(graph: Graph, max_rounds: int = 10_000, trim: bool = True) -> SccResult:
         in_scc = truncate_lineage(
             colors.filter(F.col("id") == F.col("color")).select("id", "color")
         )
+        # the eager in_scc cut fully scanned colors, so its lazy
+        # checkpoint is complete -> both safe to track as transients
+        tmp_cache.track(colors, in_scc)
         while True:
             grow = (
                 ce.join(
@@ -180,6 +205,9 @@ def scc(graph: Graph, max_rounds: int = 10_000, trim: bool = True) -> SccResult:
             if grow.isEmpty():
                 break
             in_scc = truncate_lineage(in_scc.unionByName(grow).distinct())
+            # the eager union fully cached grow; retire the previous
+            # in_scc/grow, keep colors (ce reads it every iteration)
+            tmp_cache.track(colors, in_scc, grow)
         found = in_scc.select("id", F.col("color").alias("scc_id"))
         assigned = found if assigned is None else assigned.unionByName(found)
         assigned = truncate_lineage(assigned)
@@ -191,6 +219,9 @@ def scc(graph: Graph, max_rounds: int = 10_000, trim: bool = True) -> SccResult:
             active_edges.join(found.select(F.col("id").alias("src")), "src", "left_anti")
             .join(found.select(F.col("id").alias("dst")), "dst", "left_anti")
         )
+        # round state materialized -> retire predecessors + transients
+        state_cache.track(assigned, active_v, active_edges)
+        tmp_cache.track()
         metrics.append(
             {
                 "algorithm": "scc",
@@ -199,6 +230,7 @@ def scc(graph: Graph, max_rounds: int = 10_000, trim: bool = True) -> SccResult:
                 "wall_ms": int(1000 * (time.time() - t0)),
             }
         )
+    tmp_cache.track()  # release any transients from a trim-exit round
     # normalize scc ids to the minimum member id (deterministic,
     # matching the WCC convention; the raw root is a max-id artifact of
     # the coloring pass)

@@ -84,24 +84,35 @@ def save_graph(
 
     ``symmetrize=True`` additionally writes ``{name}_sym`` at
     ``{path}_sym`` — the undirected message view (each unordered pair
-    both ways, self-loops dropped, per-pair weight merged with ``max``
-    so ``filter_weight`` keeps/drops both directions together; ``max``
-    matches the directed-filter-then-symmetrize semantics of
-    ``GraphUnionFind.java:82-99``).  Undirected operators (wcc,
-    labelPropagation BOTH, triangle family) then load with
-    ``load_graph(..., sym=True)`` and run their entire prep phase with
-    **zero exchanges** — the symmetrize union + dedup + repartition all
-    moved to this one-time write."""
+    both ways, self-loops kept as their single row so a vertex whose
+    only edges are self-loops still exists in every result, per-pair
+    weight merged with ``max`` so ``filter_weight`` keeps/drops both
+    directions together; ``max`` matches the directed-filter-then-
+    symmetrize semantics of ``GraphUnionFind.java:82-99`` and the
+    inline ``Graph.undirected()`` view bit-for-bit).  Undirected
+    operators (wcc, labelPropagation BOTH, triangle family) then load
+    with ``load_graph(..., sym=True)`` and run their entire prep phase
+    with **zero exchanges** — the symmetrize union + dedup +
+    repartition all moved to this one-time write.
+
+    ``mode="append"`` cannot maintain the sym table's pair-dedup /
+    max-merge invariant without reading back the existing rows, so
+    ``symmetrize=True`` rejects it — append the directed table and
+    rebuild the sym companion with one overwrite instead."""
     spark = graph.spark
     if buckets is None:
         buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if symmetrize and mode == "append":
+        raise ValueError(
+            "save_graph(symmetrize=True) requires mode='overwrite': an append "
+            "cannot preserve the sym table's pair-dedup/max-merge invariant"
+        )
     _write_bucketed(graph.edges, name, path, buckets, mode, graph.default_weight)
     if symmetrize:
         e = graph.edges
         sym = (
             e.select("src", "dst", "weight")
             .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
-            .filter(F.col("src") != F.col("dst"))
             .groupBy("src", "dst")
             .agg(F.max("weight").alias("weight"))
         )

@@ -106,3 +106,23 @@ def test_project_bipartite_counts_and_skew_guard(spark):
     g2 = Graph.project_bipartite(df, "grp", "item", min_count=2, max_group_size=5)
     pairs = {(r["src"], r["dst"]) for r in g2.edges.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_undirected_merges_per_pair_weights(spark):
+    """undirected() must give both directions of a pair the SAME
+    (max-merged) weight, so filter_weight keeps/drops the pair
+    atomically — a threshold must never leave a one-way edge on a
+    graph flagged symmetrized."""
+    from neo4j_graph_algorithms_spark.operators.wcc import wcc
+
+    g = Graph(spark.createDataFrame(
+        [(2, 1, 5.0), (1, 2, 0.5)], "src long, dst long, weight double"
+    ))
+    und = g.undirected()
+    rows = {(r["src"], r["dst"]): r["weight"] for r in und.edges.collect()}
+    assert rows == {(1, 2): 5.0, (2, 1): 5.0}
+    filtered = und.filter_weight(1.0)
+    assert filtered.symmetrized
+    assert {(r["src"], r["dst"]) for r in filtered.edges.collect()} == {(1, 2), (2, 1)}
+    comp = {r["id"]: r["set_id"] for r in wcc(und, threshold=1.0).components.collect()}
+    assert comp == {1: 1, 2: 1}

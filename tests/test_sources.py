@@ -267,18 +267,9 @@ def test_graph_store_symmetrized(spark, tmp_path):
         # bucket-aligned scan: exactly the 8 written buckets, no coalesce
         assert prep.rdd.getNumPartitions() == 8
 
-        # reference semantics: symmetrize inline (max-merged weights)
-        sym_inline = Graph(
-            g.edges.select("src", "dst", "weight")
-            .union(
-                g.edges.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-                )
-            )
-            .filter(F.col("src") != F.col("dst"))
-            .groupBy("src", "dst")
-            .agg(F.max("weight").alias("weight"))
-        )
+        # reference semantics: the inline undirected view (same
+        # union + per-pair max-merge + self-loops-kept as the store)
+        sym_inline = g.undirected()
         base = {r["id"]: r["set_id"] for r in wcc(sym_inline).components.collect()}
         got = {r["id"]: r["set_id"] for r in wcc(gs).components.collect()}
         assert got == base
@@ -360,3 +351,42 @@ def test_random_edges_generator(spark):
     d = random_edges(spark, 10, 2000, salt="t", dedup=True)
     pairs = [(r["src"], r["dst"]) for r in d.collect()]
     assert len(pairs) == len(set(pairs)) <= 90
+
+
+def test_graph_store_sym_keeps_self_loop_only_vertices(spark, tmp_path):
+    """A vertex whose only edges are self-loops must survive the
+    symmetrized write — dropping it would silently remove the vertex
+    from every result computed over load_graph(sym=True)."""
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators.wcc import wcc
+    from neo4j_graph_algorithms_spark.sources.graph_store import (
+        load_graph,
+        save_graph,
+    )
+
+    g = Graph(spark.createDataFrame(
+        [(1, 2, 1.0), (5, 5, 9.0)], "src long, dst long, weight double"
+    ))
+    p = str(tmp_path / "gloop")
+    save_graph(g, "gstore_loop_t", p, buckets=4, symmetrize=True)
+    try:
+        gs = load_graph(spark, "gstore_loop_t", sym=True)
+        comp = {r["id"]: r["set_id"] for r in wcc(gs).components.collect()}
+        direct = {r["id"]: r["set_id"] for r in wcc(g).components.collect()}
+        assert comp == direct == {1: 1, 2: 1, 5: 5}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gstore_loop_t")
+        spark.sql("DROP TABLE IF EXISTS gstore_loop_t_sym")
+
+
+def test_graph_store_sym_rejects_append(spark, tmp_path):
+    """Append cannot preserve the sym table's pair-dedup/max-merge
+    invariant — save_graph refuses instead of corrupting it."""
+    import pytest as _pytest
+
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.sources.graph_store import save_graph
+
+    g = Graph(spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double"))
+    with _pytest.raises(ValueError, match="append"):
+        save_graph(g, "gstore_app_t", str(tmp_path / "gapp"), mode="append", symmetrize=True)
