@@ -98,7 +98,19 @@ def _propagate_max(edges: DataFrame, init: DataFrame, along_src_to_dst: bool) ->
         state = nxt.select("id", "color")
 
 
-def scc(graph: Graph, max_rounds: int = 10_000, trim: bool = True) -> SccResult:
+def scc(
+    graph: Graph,
+    max_rounds: int = 10_000,
+    trim: bool = True,
+    max_trim_rounds: int = 100,
+) -> SccResult:
+    """``max_trim_rounds`` bounds the per-round trim fixpoint: on
+    path-like topologies trim peels only the endpoints each iteration
+    (O(n) iterations of whole-subgraph anti-joins — worse than just
+    coloring).  Trim is purely an optimization, so after the cap the
+    remaining vertices fall through to FW-BW coloring, which assigns
+    them correctly; on real link graphs trim converges in a handful of
+    iterations and never hits the cap."""
     spark = graph.spark
     active_edges = truncate_lineage(graph.edges.select("src", "dst").dropDuplicates())
     active_v = truncate_lineage(graph.vertices.select("id"))
@@ -125,7 +137,9 @@ def scc(graph: Graph, max_rounds: int = 10_000, trim: bool = True) -> SccResult:
         # components of size 1.
         if trim:
             trimmed = 0
-            while True:
+            trim_rounds = 0
+            while trim_rounds < max_trim_rounds:
+                trim_rounds += 1
                 nontrivial = (
                     active_edges.select(F.col("src").alias("id"))
                     .join(
