@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "repetition_docs",      # Gopher within-doc repetition filters
     "pack_docs",            # token-budget sequence packing
     "profile_docs",         # corpus quality-metric distribution profile
+    "neighbor_sample_cs",   # GraphSAGE fixed-fanout k-hop sampling
     "cosine_topk_embeddings",
     "quality_docs",
     "events_window_counts",

@@ -32,6 +32,7 @@ from .operators import (
     katz_centrality,
     topological_levels,
     modularity,
+    neighbor_sample,
     sample_subgraph,
 )
 
@@ -61,6 +62,7 @@ __all__ = [
     "katz_centrality",
     "topological_levels",
     "modularity",
+    "neighbor_sample",
     "sample_subgraph",
     "SuperstepCheckpointer",
     "superstep_fixpoint",

@@ -30,7 +30,7 @@ from .linkpred import neighbor_similarity
 from .kcore import k_core, core_numbers
 from .anf import neighborhood_function
 from .walks import node2vec_walks, random_walks
-from .sampling import sample_subgraph
+from .sampling import neighbor_sample, sample_subgraph
 
 __all__ = [
     "pagerank",
@@ -69,6 +69,7 @@ __all__ = [
     "k_core",
     "core_numbers",
     "random_walks",
+    "neighbor_sample",
     "sample_subgraph",
     "node2vec_walks",
     "neighborhood_function",

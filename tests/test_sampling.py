@@ -117,3 +117,47 @@ def test_pack_sequences_validation(spark):
     df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         smp.pack_sequences(df, budget=0)
+
+
+def test_neighbor_sample_matches_brute_force(spark):
+    """Engine picks = plain-python md5 ranking; fanout caps hold; each
+    hop's sources are exactly the previous hop's distinct dsts."""
+    import hashlib
+
+    from neo4j_graph_algorithms_spark import Graph, neighbor_sample
+
+    edges = [(s, d) for s in range(6) for d in range(6, 16) if (s * 7 + d) % 3 != 0]
+    edges += [(d, dd) for d in range(6, 16) for dd in range(16, 20) if (d + dd) % 2 == 0]
+    g = Graph.from_edges(spark.createDataFrame(edges, "src long, dst long"))
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    out = neighbor_sample(g, seeds, fanouts=(3, 2)).collect()
+
+    def rank(hop, s, d):
+        return hashlib.md5(f"sage:{hop}:{s}:{d}".encode()).hexdigest()
+
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    expect = set()
+    frontier = {0, 1, 2}
+    for hop, fanout in enumerate((3, 2)):
+        nxt = set()
+        for s in sorted(frontier):
+            picks = sorted(adj.get(s, []), key=lambda d: (rank(hop, s, d), d))[:fanout]
+            for d in picks:
+                expect.add((hop, s, d))
+                nxt.add(d)
+        frontier = nxt
+    assert {(r["hop"], r["src"], r["dst"]) for r in out} == expect
+    # per-src fanout cap per hop
+    from collections import Counter
+
+    c = Counter((r["hop"], r["src"]) for r in out)
+    assert all(n <= (3 if hop == 0 else 2) for (hop, _), n in c.items())
+    # deterministic across runs
+    again = {(r["hop"], r["src"], r["dst"])
+             for r in neighbor_sample(g, seeds, fanouts=(3, 2)).collect()}
+    assert again == expect
+    # validation
+    with pytest.raises(ValueError):
+        neighbor_sample(g, seeds, fanouts=())
