@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "pack_docs",            # token-budget sequence packing
     "profile_docs",         # corpus quality-metric distribution profile
     "neighbor_sample_cs",   # GraphSAGE fixed-fanout k-hop sampling
+    "butterflies_cs",       # bipartite 2x2-biclique (4-cycle) motif counts
     "cosine_topk_embeddings",
     "quality_docs",
     "events_window_counts",

@@ -30,6 +30,7 @@ from .linkpred import neighbor_similarity
 from .kcore import k_core, core_numbers
 from .anf import neighborhood_function
 from .walks import node2vec_walks, random_walks
+from .butterflies import butterflies
 from .sampling import neighbor_sample, sample_subgraph
 
 __all__ = [
@@ -69,6 +70,7 @@ __all__ = [
     "k_core",
     "core_numbers",
     "random_walks",
+    "butterflies",
     "neighbor_sample",
     "sample_subgraph",
     "node2vec_walks",

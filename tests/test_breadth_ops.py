@@ -751,3 +751,24 @@ def test_conductance_degenerate_labels(spark):
     r = rows[0]
     assert r["cut_weight"] == 0.0 and r["volume"] == 6.0
     assert r["conductance"] is None
+
+
+def test_butterflies_hand_graph(spark):
+    from neo4j_graph_algorithms_spark import Graph
+    from neo4j_graph_algorithms_spark.operators.butterflies import butterflies
+
+    # c1,c2 both connect s10,s11 (one butterfly); c3 adds no motif
+    edges = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12)]
+    g = Graph.from_edges(spark.createDataFrame(edges, "src long, dst long"))
+    res = butterflies(g)
+    assert res.total == 1 and res.skipped_centers == 0
+    per = {r["id"]: r["butterflies"] for r in res.per_right.collect()}
+    assert per == {10: 1, 11: 1}
+    # a third customer on both suppliers -> C(3,2) = 3 butterflies
+    g2 = Graph.from_edges(spark.createDataFrame(
+        edges + [(4, 10), (4, 11)], "src long, dst long"
+    ))
+    assert butterflies(g2).total == 3
+    # hub cap excludes centers and reports them
+    capped = butterflies(g2, max_center_degree=1)
+    assert capped.total == 0 and capped.skipped_centers == 4
