@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "cosine_topk_embeddings",
     "quality_docs",
     "events_window_counts",
+    "funnel_events",        # first-touch behavioral funnel
+    "retention_events",     # weekly retention cohorts
 ]
 
 

@@ -572,3 +572,52 @@ def test_near_dup_clusters_transitive(spark):
         for r in dedup.near_dup_clusters(pairs, two_phase=True).collect()
     }
     assert rows2 == rows
+
+
+def test_funnel_first_touch_semantics(spark):
+    from datetime import datetime as dt
+
+    from neo4j_graph_algorithms_spark.functions import behavior
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, dt(2024, 1, 1, 10), "view"), (1, dt(2024, 1, 1, 11), "click"),
+        (1, dt(2024, 1, 1, 12), "purchase"),
+        # u2 clicked BEFORE first view -> stage 2 not reached
+        (2, dt(2024, 1, 1, 9), "click"), (2, dt(2024, 1, 1, 10), "view"),
+        # u3 stops after click
+        (3, dt(2024, 1, 2, 8), "view"), (3, dt(2024, 1, 2, 9), "click"),
+        # u4 never views
+        (4, dt(2024, 1, 1, 8), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["stage"]: r for r in
+           behavior.funnel(ev, ("view", "click", "purchase")).collect()}
+    assert out[1]["users"] == 3 and out[1]["event_type"] == "view"
+    assert out[2]["users"] == 2
+    assert out[3]["users"] == 1
+    with pytest.raises(ValueError):
+        behavior.funnel(ev, ())
+
+
+def test_retention_cohorts_weekly(spark):
+    from datetime import datetime as dt
+
+    from neo4j_graph_algorithms_spark.functions import behavior
+
+    # 2024-01-01 is a Monday: W0=01-01, W1=01-08, W3=01-22
+    rows = [
+        (1, dt(2024, 1, 2), "view"), (1, dt(2024, 1, 9), "view"),    # W0, back W1
+        (2, dt(2024, 1, 3), "view"),                                  # W0 only
+        (3, dt(2024, 1, 10), "view"), (3, dt(2024, 1, 23), "view"),  # W1, back W3
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {(str(r["cohort"]), r["period"]): r
+           for r in behavior.retention_cohorts(ev).collect()}
+    assert out[("2024-01-01", 0)]["users"] == 2
+    assert out[("2024-01-01", 0)]["retention"] == 1.0
+    assert out[("2024-01-01", 1)]["users"] == 1
+    assert out[("2024-01-01", 1)]["retention"] == 0.5
+    assert out[("2024-01-08", 0)]["users"] == 1
+    assert out[("2024-01-08", 2)]["users"] == 1
+    assert len(out) == 4
