@@ -18,6 +18,7 @@ from .operators import (
     eigenvector_centrality,
     wcc,
     label_propagation,
+    doulion_estimate,
     triangle_count,
     triangle_stream,
     clustering_coefficients,
@@ -48,6 +49,7 @@ __all__ = [
     "eigenvector_centrality",
     "wcc",
     "label_propagation",
+    "doulion_estimate",
     "triangle_count",
     "triangle_stream",
     "clustering_coefficients",

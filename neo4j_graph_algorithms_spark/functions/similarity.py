@@ -313,3 +313,143 @@ def knn_graph(
         rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         edges = edges.join(rev.hint("SHUFFLE_HASH"), ["src", "dst"])
     return edges
+
+
+def _scaled_vec(col: Column) -> Column:
+    """Embedding as exact 60-bit-safe longs: ``round(x · 10^6)``.
+
+    Lloyd centroid means are sums of these longs — order-independent
+    integer arithmetic — so the k-means below is bit-deterministic
+    across partitionings AND engines (a double sum is not: Spark and
+    DuckDB add partial aggregates in different orders)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1e6).cast("long"))
+
+
+def _unscaled(col: Column) -> Column:
+    return F.transform(col, lambda v: v.cast("double") / 1e6)
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, cluster)`` — Lloyd k-means over an embedding column,
+    fully deterministic (so the DuckDB oracle replays it):
+
+    - init: the ``k`` corpus vectors with the smallest ``md5(vec_id)``
+      (the same RNG-free draw as ``ivf_topk``); a cluster is labeled by
+      its init centroid's vec_id forever;
+    - assign: nearest centroid by 6-dp-rounded cosine, centroid-id
+      tie-break (rounding stabilizes the argmax across engines' float
+      summation orders);
+    - update: per-dimension mean over exact ``round(x·10^6)`` longs
+      (order-independent integer sums — see ``_scaled_vec``), divided
+      back to double once per dimension;
+    - ``iterations`` Lloyd updates, then one final assignment.
+      ``iterations=0`` degenerates to the IVF coarse quantizer.
+
+    100-TB shape: the centroid table is k rows — always broadcast; per
+    iteration one corpus scan for the assign (crossJoin with the
+    broadcast centroids + argmax window keyed by vec_id, which AQE
+    splits fine since vec_id is unique) and one map-side-combined
+    aggregate for the means (k·dim groups).  Empty clusters drop out,
+    matching the oracle's GROUP BY.  This is the coarse clustering
+    stage of SemDeDup-style semantic dedup (``semdedup`` below).
+    """
+    c = df.select(
+        F.col(id_col).alias("vec_id"), _scaled_vec(F.col(vec_col)).alias("sv")
+    )
+    c = c.withColumn("cv", _unscaled(F.col("sv")))
+    cents = (
+        c.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(k)
+        .select(F.col("vec_id").alias("cent_id"), F.col("cv").alias("cent_v"))
+    )
+
+    def assign(frame: DataFrame, cents_df: DataFrame) -> DataFrame:
+        csim = F.round(cosine(F.col("cv"), F.col("cent_v")), 6)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+        return (
+            frame.crossJoin(F.broadcast(cents_df))
+            .select("vec_id", "sv", "cv", "cent_id", csim.alias("csim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sv", "cv", "cent_id")
+        )
+
+    for _ in range(iterations):
+        a = assign(c, cents)
+        dims = a.select(
+            "cent_id", F.posexplode("sv").alias("pos", "v")
+        )
+        means = (
+            dims.groupBy("cent_id", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cent_id",
+                "pos",
+                (F.col("s").cast("double") / F.col("n") / 1e6).alias("md"),
+            )
+        )
+        cents = means.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "md"))),
+                lambda s: s["md"],
+            ).alias("cent_v")
+        )
+    return assign(c, cents).select("vec_id", F.col("cent_id").alias("cluster"))
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    k: int = 8,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, cluster, kept)`` — SemDeDup-style semantic
+    deduplication (Abbas et al., 2023): cluster the embedding space
+    with ``kmeans``, then WITHIN each cluster drop every vector that
+    has a lower-id clustermate with 6-dp-rounded cosine ≥
+    ``threshold`` (keep-lowest-id — the same deterministic survivor
+    policy as ``dedup.near_dup_clusters``).
+
+    The clustering is what makes this scale: candidate pairs are
+    cluster-bounded (O(Σ |cluster|²), never corpus²), and the pair join
+    is hash-partitioned on the cluster id.  Exactness caveat inherited
+    from SemDeDup itself: near-duplicates split across clusters are not
+    compared — recall is controlled by k (fewer, larger clusters =
+    higher recall, more pair work)."""
+    a = kmeans(df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col)
+    c = df.select(
+        F.col(id_col).alias("vec_id"),
+        _unscaled(_scaled_vec(F.col(vec_col))).alias("cv"),
+    ).join(a, "vec_id")
+    lo = c.select(
+        F.col("cluster"), F.col("vec_id").alias("lo_id"), F.col("cv").alias("lo_v")
+    )
+    hi = c.select(
+        F.col("cluster"), F.col("vec_id").alias("hi_id"), F.col("cv").alias("hi_v")
+    )
+    dropped = (
+        hi.join(lo.hint("SHUFFLE_HASH"), "cluster")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .filter(
+            F.round(cosine(F.col("lo_v"), F.col("hi_v")), 6) >= F.lit(threshold)
+        )
+        .select(F.col("hi_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        c.join(dropped.withColumn("d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("d").isNull().alias("kept"),
+        )
+    )

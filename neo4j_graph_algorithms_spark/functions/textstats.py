@@ -569,3 +569,122 @@ def corpus_profile(
             )
         structs.append(F.struct(*fields))
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def _dsir_feature_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    salt: str,
+) -> DataFrame:
+    """``(doc_id, b)`` — one row per hashed-n-gram feature occurrence:
+    unigrams plus adjacent bigrams, md5-bucketed into ``n_buckets``
+    (the DSIR paper's hashed n-gram feature map)."""
+    from .sampling import hash_bucket
+
+    uni = term_rows(df, text_col, id_col).select("doc_id", F.col("term").alias("f"))
+    bi = bigram_rows(df, text_col, id_col).select(
+        "doc_id", F.concat_ws(" ", "w1", "w2").alias("f")
+    )
+    return uni.unionByName(bi).select(
+        "doc_id", hash_bucket(F.col("f"), salt, n_buckets).alias("b")
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    add_k: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """``(doc_id, n_features, log_weight)`` — DSIR importance weights
+    (Xie et al., NeurIPS'23 "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by how much more
+    likely its hashed-n-gram features are under a *target* corpus (the
+    high-quality / in-domain sample you want more of) than under the
+    raw corpus itself,
+
+        log w(doc) = Σ_features  c_doc[b] · ( ln p_target[b] − ln p_raw[b] )
+
+    with add-k smoothed bucket probabilities
+    ``p[b] = (c[b] + k) / (total + k·B)`` over ``B = n_buckets`` hashed
+    unigram+bigram buckets.  Resample the corpus ∝ exp(log w) (or take
+    the deterministic top-N — ``dsir_resample``) to shift the raw
+    distribution toward the target.
+
+    100-TB shape: both bucket-count tables are B-sized (B ≪ corpus) —
+    the raw counts fold out of the per-doc feature aggregate
+    (map-side combined, shuffle carries ≤ docs·B rows, not token
+    rows), the target counts are one aggregate over the (much smaller)
+    target sample, and the scoring join broadcasts the B-row weight
+    table.  One tokenizing scan of each corpus; per-doc double sums
+    rounded to 6 dp (the repo-wide oracle-stability convention).
+    """
+    from ..plans.checkpoint import truncate_lineage
+
+    doc_b = truncate_lineage(
+        _dsir_feature_buckets(df, text_col, id_col, n_buckets, salt)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    raw = doc_b.groupBy("b").agg(F.sum("m").cast("long").alias("cr"))
+    targ = (
+        _dsir_feature_buckets(target, text_col, id_col, n_buckets, salt)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    total_raw = int(doc_b.agg(F.sum("m")).first()[0] or 0)
+    total_t = int(targ.agg(F.sum("ct")).first()[0] or 0)
+    kb = float(add_k) * float(n_buckets)
+    w = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(float(add_k)))
+        / F.lit(total_t + kb)
+    ) - F.log(
+        (F.col("cr").cast("double") + F.lit(float(add_k))) / F.lit(total_raw + kb)
+    )
+    weights = raw.join(targ, "b", "left").select("b", w.alias("w"))
+    return (
+        doc_b.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_features"),
+            F.round(F.sum(F.col("m") * F.col("w")), 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    add_k: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """``(doc_id, log_weight, score)`` — the top-``n`` documents under
+    Gumbel-top-k resampling of the DSIR weights: sampling n docs
+    without replacement ∝ exp(log w) is equivalent to taking the top n
+    by ``log w + Gumbel noise`` (the Gumbel-max trick).  The noise is
+    derandomized the repo's way — ``u = (bucket(doc_id)+0.5)/10^6`` from
+    the md5 bucket, ``g = −ln(−ln u)`` — so the sample is replayable
+    and retry/growth-stable like every other sampler in this package."""
+    from .sampling import hash_bucket
+
+    lw = dsir_log_weights(
+        df, target, text_col, id_col, n_buckets, add_k, salt
+    )
+    u = (
+        hash_bucket(F.col("doc_id"), f"{salt}-gumbel").cast("double") + F.lit(0.5)
+    ) / F.lit(1e6)
+    score = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+    return (
+        lw.select("doc_id", "log_weight", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(n))
+    )

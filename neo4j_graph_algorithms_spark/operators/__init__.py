@@ -11,6 +11,7 @@ from .fastrp import fastrp
 from .labelprop import label_propagation
 from .triangles import (
     clustering_coefficients,
+    doulion_estimate,
     transitivity,
     triangle_count,
     triangle_stream,
@@ -45,6 +46,7 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "triangle_stream",
+    "doulion_estimate",
     "clustering_coefficients",
     "louvain",
     "conductance",

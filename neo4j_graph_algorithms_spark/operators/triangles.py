@@ -231,3 +231,69 @@ def transitivity(graph: Graph) -> DataFrame:
         [(int(n_tri), wedges, t)],
         "triangles long, wedges long, transitivity double",
     )
+
+
+def doulion_estimate(
+    graph: Graph,
+    p: float = 0.5,
+    salt: str = "doulion",
+) -> DataFrame:
+    """One-row DOULION sampled triangle estimate —
+    ``(sampled_edges, sampled_triangles, est_triangles)``.
+
+    DOULION (Tsourakakis et al., KDD'09): keep each undirected edge
+    independently with probability ``p``, count triangles on the
+    sparsified graph, scale by ``1/p^3``.  The unbiased estimator that
+    makes exact triangle counting affordable when the edge set itself
+    is the bottleneck — at 100 TB the sample is a pushed-down filter on
+    the edge scan, so the wedge join (the expensive part) runs on
+    ``p·m`` edges (cost shrinks ~``p^2`` for the join fan-out).
+
+    Determinism (so the DuckDB oracle replays the coin flips): the
+    "coin" for canonical edge (a, b) is the first 60 bits of
+    ``md5(a ':' b ':' salt)`` as an integer modulo 10^6 compared to
+    ``p·10^6`` — a pure function of the edge, stable across runs,
+    partitionings, and engines (the same md5-bucket convention as
+    ``functions/sampling.py::hash_bucket``).
+
+    Reference has no sampled-triangle surface; this extends
+    ``algo.triangleCount`` (TriangleProc.java) with the standard
+    scale-out estimator.
+    """
+    canon = (
+        graph.edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("a").cast("string"),
+                        F.col("b").cast("string"),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1_000_000)
+    )
+    sampled = canon.filter(coin < F.lit(int(round(p * 1_000_000)))).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    sampled = truncate_lineage(sampled)
+    n_edges = sampled.count()
+    n_tri = triangle_stream(Graph.from_edges(sampled)).count()
+    est = n_tri / (p ** 3)
+    return graph.spark.createDataFrame(
+        [(int(n_edges), int(n_tri), round(est, 6))],
+        "sampled_edges long, sampled_triangles long, est_triangles double",
+    )

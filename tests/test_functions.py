@@ -621,3 +621,177 @@ def test_retention_cohorts_weekly(spark):
     assert out[("2024-01-08", 0)]["users"] == 1
     assert out[("2024-01-08", 2)]["users"] == 1
     assert len(out) == 4
+
+
+def _md5_bucket(s: str, n: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % n
+
+
+def test_kmeans_python_twin(spark):
+    """similarity.kmeans replicates a sequential-arithmetic Python twin
+    bit-for-bit: md5-seeded centroids, 6-dp cosine argmax with
+    centroid-id tie-break, exact scaled-integer means."""
+    import hashlib
+    import math
+
+    from neo4j_graph_algorithms_spark.functions import similarity as sim
+
+    vals = [
+        [0.11, 0.93, 0.21, 0.05], [0.13, 0.91, 0.19, 0.07],
+        [0.92, 0.08, 0.33, 0.41], [0.88, 0.12, 0.29, 0.44],
+        [0.07, 0.22, 0.95, 0.61], [0.09, 0.18, 0.89, 0.58],
+        [0.51, 0.49, 0.52, 0.48], [0.44, 0.56, 0.47, 0.53],
+        [0.95, 0.91, 0.11, 0.08], [0.15, 0.12, 0.14, 0.97],
+        [0.21, 0.17, 0.09, 0.91], [0.87, 0.85, 0.14, 0.12],
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in sim.kmeans(df, k=3, iterations=2).collect()
+    }
+
+    # ---- python twin (sequential double arithmetic, like Spark's
+    # aggregate over the array) ----
+    def scale(x):  # F.round HALF_UP at 1e6, via float32 like the column cast
+        import struct
+
+        x32 = struct.unpack("f", struct.pack("f", x))[0]
+        v = x32 * 1e6
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+    sv = {i: [scale(x) for x in v] for i, v in enumerate(vals)}
+    cv = {i: [e / 1e6 for e in s] for i, s in sv.items()}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    cents = {
+        i: cv[i]
+        for i in sorted(cv, key=lambda j: hashlib.md5(str(j).encode()).hexdigest())[:3]
+    }
+
+    def assign(cents_d):
+        out = {}
+        for i in cv:
+            best = min(
+                cents_d, key=lambda c: (-round(cos(cv[i], cents_d[c]), 6), c)
+            )
+            out[i] = best
+        return out
+
+    for _ in range(2):
+        a = assign(cents)
+        nxt = {}
+        for c in set(a.values()):
+            members = [i for i in a if a[i] == c]
+            dims = len(sv[members[0]])
+            nxt[c] = [
+                (float(sum(sv[i][d] for i in members)) / len(members)) / 1e6
+                for d in range(dims)
+            ]
+        cents = nxt
+    expect = assign(cents)
+    assert got == expect
+
+
+def test_semdedup_keep_lowest_id(spark):
+    from neo4j_graph_algorithms_spark.functions import similarity as sim
+
+    base = [0.9, 0.1, 0.2, 0.3]
+    rows = [
+        (0, base), (1, base), (5, base),            # identical triple
+        (2, [0.1, 0.9, 0.1, 0.1]),
+        (3, [0.1, 0.1, 0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in sim.semdedup(df, threshold=0.999, k=2).collect()}
+    assert len(out) == 5
+    # identical vectors always share a cluster -> only the lowest id kept
+    assert out[0]["kept"] and not out[1]["kept"] and not out[5]["kept"]
+    assert out[1]["cluster"] == out[0]["cluster"] == out[5]["cluster"]
+    # the distinct vectors survive
+    assert out[2]["kept"] and out[3]["kept"]
+
+
+def test_dsir_weights_brute_force(spark):
+    import math
+
+    corpus = [
+        (0, "spark join filter", "en"),
+        (1, "spark join spark join", "en"),
+        (2, "la table et la ligne", "fr"),
+        (3, "filter scan merge", "en"),
+        (4, "et la ligne et", "fr"),
+        (5, "", "fr"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in textstats.dsir_log_weights(
+            df, df.filter(F.col("lang") == "en"), n_buckets=64
+        ).collect()
+    }
+
+    def feats(text):
+        toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    B, k = 64, 1.0
+    doc_f = {d: [_md5_bucket(f + ":dsir", B) for f in feats(t)] for d, t, _ in corpus}
+    raw, tgt = {}, {}
+    for d, t, lang in corpus:
+        for b in doc_f[d]:
+            raw[b] = raw.get(b, 0) + 1
+            if lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    tot_r, tot_t = sum(raw.values()), sum(tgt.values())
+    for d, t, _ in corpus:
+        if not doc_f[d]:
+            assert d not in got  # featureless docs are absent
+            continue
+        lw = sum(
+            math.log((tgt.get(b, 0) + k) / (tot_t + k * B))
+            - math.log((raw[b] + k) / (tot_r + k * B))
+            for b in doc_f[d]
+        )
+        assert got[d]["n_features"] == len(doc_f[d])
+        assert got[d]["log_weight"] == pytest.approx(lw, abs=1e-6)
+    # english docs should score higher than french ones on average
+    en = [got[d]["log_weight"] for d, _, lang in corpus if lang == "en" and d in got]
+    fr = [got[d]["log_weight"] for d, _, lang in corpus if lang == "fr" and d in got]
+    assert min(en) > max(fr)
+
+
+def test_dsir_resample_top_n(spark):
+    corpus = [
+        (0, "spark join filter", "en"),
+        (1, "la table et la ligne", "fr"),
+        (2, "spark scan merge join", "en"),
+        (3, "et la ligne et", "fr"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    tgt = df.filter(F.col("lang") == "en")
+    out = textstats.dsir_resample(df, tgt, n=2, n_buckets=64).collect()
+    assert len(out) == 2
+    assert out[0]["score"] >= out[1]["score"]
+    # deterministic across invocations
+    out2 = textstats.dsir_resample(df, tgt, n=2, n_buckets=64).collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in out2]

@@ -79,3 +79,47 @@ def test_transitivity_matches_networkx(spark):
     g2 = Graph.from_edge_list(spark, [(0, 1)], vertices=[0, 1])
     row2 = transitivity(g2).collect()[0]
     assert row2["transitivity"] == 0.0 and row2["wedges"] == 0
+
+
+def test_doulion_estimate_replays_md5_coins(spark):
+    """doulion_estimate matches a brute-force twin: identical md5 edge
+    coins, triangle count on the sparsified graph, x 1/p^3."""
+    import hashlib
+    from itertools import combinations
+
+    from neo4j_graph_algorithms_spark import doulion_estimate
+
+    # clique K7 + an 8-cycle tail: 35 triangles in the clique, 0 in the tail
+    edges = list(combinations(range(7), 2)) + [
+        (7 + i, 7 + (i + 1) % 8) for i in range(8)
+    ]
+    g = Graph.from_edge_list(spark, edges)
+    p = 0.5
+    row = doulion_estimate(g, p=p).first()
+
+    def coin(a, b):
+        h = hashlib.md5(f"{a}:{b}:doulion".encode()).hexdigest()[:15]
+        return int(h, 16) % 1_000_000 < p * 1_000_000
+
+    kept = {(a, b) for a, b in ((min(e), max(e)) for e in edges) if coin(a, b)}
+    tris = sum(
+        1
+        for a, b, c in combinations(sorted({v for e in kept for v in e}), 3)
+        if (a, b) in kept and (b, c) in kept and (a, c) in kept
+    )
+    assert row["sampled_edges"] == len(kept)
+    assert row["sampled_triangles"] == tris
+    assert row["est_triangles"] == pytest.approx(tris / p**3)
+
+
+def test_doulion_p1_is_exact(spark):
+    from itertools import combinations
+
+    from neo4j_graph_algorithms_spark import doulion_estimate
+
+    edges = list(combinations(range(6), 2))  # K6: 20 triangles
+    g = Graph.from_edge_list(spark, edges)
+    row = doulion_estimate(g, p=1.0).first()
+    assert row["sampled_edges"] == 15
+    assert row["sampled_triangles"] == 20
+    assert row["est_triangles"] == pytest.approx(20.0)
