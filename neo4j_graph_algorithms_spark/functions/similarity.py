@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..plans.checkpoint import truncate_lineage
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -371,14 +373,31 @@ def kmeans(
     )
 
     def assign(frame: DataFrame, cents_df: DataFrame) -> DataFrame:
+        # argmax as a hash aggregate, not a row_number window: max of
+        # struct(csim, -cent_id) picks (sim desc, cent_id asc) with a
+        # map-side partial that collapses the k-row fanout per vector
+        # before any exchange — no per-partition sort at all
         csim = F.round(cosine(F.col("cv"), F.col("cent_v")), 6)
-        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
         return (
             frame.crossJoin(F.broadcast(cents_df))
             .select("vec_id", "sv", "cv", "cent_id", csim.alias("csim"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "sv", "cv", "cent_id")
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("csim"),
+                        (-F.col("cent_id")).alias("negc"),
+                        F.col("sv").alias("sv"),
+                        F.col("cv").alias("cv"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "vec_id",
+                F.col("m.sv").alias("sv"),
+                F.col("m.cv").alias("cv"),
+                (-F.col("m.negc")).alias("cent_id"),
+            )
         )
 
     for _ in range(iterations):
@@ -395,11 +414,15 @@ def kmeans(
                 (F.col("s").cast("double") / F.col("n") / 1e6).alias("md"),
             )
         )
-        cents = means.groupBy("cent_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "md"))),
-                lambda s: s["md"],
-            ).alias("cent_v")
+        # k·dim rows — cut the lineage so iteration r+1's plan does not
+        # re-derive every previous round's assignment
+        cents = truncate_lineage(
+            means.groupBy("cent_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "md"))),
+                    lambda s: s["md"],
+                ).alias("cent_v")
+            )
         )
     return assign(c, cents).select("vec_id", F.col("cent_id").alias("cluster"))
 
@@ -426,10 +449,14 @@ def semdedup(
     compared — recall is controlled by k (fewer, larger clusters =
     higher recall, more pair work)."""
     a = kmeans(df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col)
-    c = df.select(
-        F.col(id_col).alias("vec_id"),
-        _unscaled(_scaled_vec(F.col(vec_col))).alias("cv"),
-    ).join(a, "vec_id")
+    # vertex-sized and referenced three times (lo side, hi side, final
+    # kept-flag join) — cut the lineage so the k-means pipeline runs once
+    c = truncate_lineage(
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            _unscaled(_scaled_vec(F.col(vec_col))).alias("cv"),
+        ).join(a, "vec_id")
+    )
     lo = c.select(
         F.col("cluster"), F.col("vec_id").alias("lo_id"), F.col("cv").alias("lo_v")
     )
@@ -446,7 +473,11 @@ def semdedup(
         .distinct()
     )
     return (
-        c.join(dropped.withColumn("d", F.lit(1)), "vec_id", "left")
+        c.join(
+            dropped.withColumn("d", F.lit(1)).hint("SHUFFLE_HASH"),
+            "vec_id",
+            "left",
+        )
         .select(
             "vec_id",
             "cluster",
