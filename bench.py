@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "events_window_counts",
     "funnel_events",        # first-touch behavioral funnel
     "retention_events",     # weekly retention cohorts
+    "dsir_docs",            # hashed-n-gram importance reweighting
+    "kmeans_embeddings",    # deterministic Lloyd coarse quantizer
+    "semdedup_embeddings",  # cluster-bounded semantic near-dup pruning
+    "doulion_cop",          # p-sparsified triangle estimate
 ]
 
 

@@ -373,31 +373,34 @@ def kmeans(
     )
 
     def assign(frame: DataFrame, cents_df: DataFrame) -> DataFrame:
-        # argmax as a hash aggregate, not a row_number window: max of
-        # struct(csim, -cent_id) picks (sim desc, cent_id asc) with a
-        # map-side partial that collapses the k-row fanout per vector
-        # before any exchange — no per-partition sort at all
-        csim = F.round(cosine(F.col("cv"), F.col("cent_v")), 6)
+        # argmax as a WHOLE-STAGE-CODEGEN hash aggregate, not a
+        # row_number window: pack (rounded sim, centroid index) into ONE
+        # long — max(pack) picks (sim desc, cent_id asc) and the
+        # primitive buffer keeps HashAggregate (a struct-typed max
+        # buffer demotes to SortAggregate, re-sorting the k-row fanout
+        # per partition).  Packing: round(cos·10^6) is order-equivalent
+        # to the 6-dp-rounded cosine (k ↦ double(k/10^6) is monotone and
+        # injective for |k| ≤ 10^6), and the centroid's dense rank
+        # (ascending cent_id) occupies the low 20 bits inverted, so
+        # larger pack = better sim, then smaller cent_id.  The map-side
+        # partial collapses the fanout before the one exchange.
+        # k rows — the constant partition key only silences Spark's
+        # single-partition-window warning; the table IS k rows
+        idx_w = Window.partitionBy(F.lit(0)).orderBy("cent_id")
+        cents_i = cents_df.withColumn("idx", F.row_number().over(idx_w) - 1)
+        ci = F.round(cosine(F.col("cv"), F.col("cent_v")) * 1e6).cast("long")
+        pack = ci * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("idx"))
+        decode_idx = F.lit((1 << 20) - 1) - F.pmod(F.col("p"), F.lit(1 << 20))
         return (
-            frame.crossJoin(F.broadcast(cents_df))
-            .select("vec_id", "sv", "cv", "cent_id", csim.alias("csim"))
-            .groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("csim"),
-                        (-F.col("cent_id")).alias("negc"),
-                        F.col("sv").alias("sv"),
-                        F.col("cv").alias("cv"),
-                    )
-                ).alias("m")
+            frame.crossJoin(F.broadcast(cents_i))
+            .select("vec_id", "sv", "cv", pack.alias("pk"))
+            .groupBy("vec_id", "sv", "cv")
+            .agg(F.max("pk").alias("p"))
+            .join(
+                F.broadcast(cents_i.select("idx", "cent_id")),
+                decode_idx == F.col("idx"),
             )
-            .select(
-                "vec_id",
-                F.col("m.sv").alias("sv"),
-                F.col("m.cv").alias("cv"),
-                (-F.col("m.negc")).alias("cent_id"),
-            )
+            .select("vec_id", "sv", "cv", "cent_id")
         )
 
     for _ in range(iterations):
