@@ -195,3 +195,35 @@ def pack_sequences(
         "n_tokens",
         (before % F.lit(budget)).cast("long").alias("tok_offset"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """``(id, sample_key)`` — the top-``n`` rows of a weighted sample
+    WITHOUT replacement, inclusion probability ∝ ``weight_col``
+    (A-ES / Efraimidis–Spirakis 2006: key = u^(1/w), take the n
+    largest — computed in the log domain, ``ln(u)/w``, same ordering
+    without pow underflow).
+
+    Like every sampler here the randomness is derandomized —
+    ``u = (md5-bucket(id)+0.5)/10^6`` — so the sample is identical
+    across runs, retries, partitionings, and engines, and it is
+    growth-stable: adding rows never changes a surviving row's key,
+    only the cut line.  Rows with non-positive weight are excluded
+    (their inclusion probability is 0).
+
+    100-TB shape: one projection + a global top-n (TakeOrdered — per-
+    partition heaps, no global sort of the corpus)."""
+    u = (hash_bucket(F.col(id_col), salt).cast("double") + F.lit(0.5)) / F.lit(1e6)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.round(key, 9).alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(int(n))
+    )

@@ -161,3 +161,36 @@ def test_neighbor_sample_matches_brute_force(spark):
     # validation
     with pytest.raises(ValueError):
         neighbor_sample(g, seeds, fanouts=())
+
+
+def test_weighted_sample_aes_twin_and_growth_stable(spark):
+    """weighted_sample replays the A-ES keys of a hashlib twin, keeps
+    only positive weights, and is growth-stable (adding rows never
+    changes a surviving row's key)."""
+    import hashlib
+    import math
+
+    from neo4j_graph_algorithms_spark.functions.sampling import weighted_sample
+
+    rows = [(i, float(w)) for i, w in enumerate([5.0, 1.0, 20.0, 0.0, -3.0, 8.0, 2.5, 13.0])]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, n=4, weight_col="w").collect()
+
+    def key(i, w):
+        u = (int(hashlib.md5(f"{i}:wsample".encode()).hexdigest()[:15], 16) % 1_000_000 + 0.5) / 1e6
+        return round(math.log(u) / w, 9)
+
+    expect = sorted(
+        ((i, key(i, w)) for i, w in rows if w > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:4]
+    assert [(r["doc_id"], r["sample_key"]) for r in got] == expect
+    # zero/negative weights never sampled even with n > positives
+    all_got = weighted_sample(df, n=100, weight_col="w").collect()
+    assert {r["doc_id"] for r in all_got} == {i for i, w in rows if w > 0}
+    # growth stability: new rows don't perturb surviving keys
+    bigger = df.union(spark.createDataFrame([(100, 50.0), (101, 0.7)], "doc_id long, w double"))
+    keys_before = {r["doc_id"]: r["sample_key"] for r in all_got}
+    for r in weighted_sample(bigger, n=100, weight_col="w").collect():
+        if r["doc_id"] in keys_before:
+            assert r["sample_key"] == keys_before[r["doc_id"]]
