@@ -688,3 +688,70 @@ def dsir_resample(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(n))
     )
+
+
+def cms_term_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 1024,
+    min_estimate: int = 100,
+) -> DataFrame:
+    """``(term, est_count)`` — heavy-hitter terms by a count-min sketch
+    (Cormode & Muthukrishnan 2005): ``depth`` hash rows × ``width``
+    counters, estimate = min over rows of the term's counter, keep
+    terms with estimate ≥ ``min_estimate``.  One-sided error: the
+    estimate never undercounts, overcounts by ≤ εN with probability
+    1−δ (ε = e/width, δ = e^-depth) — so the filter has perfect recall
+    of true heavy hitters.
+
+    Why a sketch when ``groupBy(term).count()`` is exact: the CMS is
+    the *mergeable, bounded-memory* form — depth·width longs regardless
+    of corpus or vocabulary size, so per-partition partial sketches
+    combine map-side and the driver/broadcast cost is a constant, the
+    property that matters when the vocabulary itself is corpus-scale
+    (URLs, n-grams, ids).  Hashes are md5-derived (``md5('<row>:<term>')``
+    mod width) — deterministic, so the DuckDB oracle replays the
+    sketch and the *approximate* counts are exact, replayable integers.
+
+    Plan: one tokenizing scan; the depth bucket-count aggregates are
+    map-side combined unions (sketch-sized shuffle); the probe joins
+    the vocabulary against the broadcast depth·width sketch and takes
+    an all-integer min.
+    """
+    from ..plans.checkpoint import truncate_lineage
+
+    # referenced depth+1 times (one per sketch row + the probe side) —
+    # cut once so the tokenizing scan runs once
+    rows = truncate_lineage(term_rows(df, text_col, id_col).select("term"))
+
+    def bucket(j: int) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("term"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return h % F.lit(width)
+
+    sketch = None
+    for j in range(depth):
+        part = (
+            rows.groupBy(bucket(j).alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(j).alias("j"), "b", "c")
+        )
+        sketch = part if sketch is None else sketch.unionByName(part)
+
+    probes = rows.distinct().select(
+        "term",
+        F.explode(
+            F.array(*[F.struct(F.lit(j).alias("j"), bucket(j).alias("b")) for j in range(depth)])
+        ).alias("p"),
+    ).select("term", F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("term")
+        .agg(F.min("c").cast("long").alias("est_count"))
+        .filter(F.col("est_count") >= int(min_estimate))
+    )

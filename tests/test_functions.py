@@ -795,3 +795,41 @@ def test_dsir_resample_top_n(spark):
     # deterministic across invocations
     out2 = textstats.dsir_resample(df, tgt, n=2, n_buckets=64).collect()
     assert [r["doc_id"] for r in out] == [r["doc_id"] for r in out2]
+
+
+def test_cms_term_counts_brute_force(spark):
+    """cms_term_counts replays a hashlib twin exactly and never
+    undercounts (one-sided CMS error)."""
+    import re as _re
+
+    corpus = [
+        (0, "spark spark spark join filter"),
+        (1, "join spark merge join"),
+        (2, "scan filter spark join merge merge"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["term"]: r["est_count"]
+        for r in textstats.cms_term_counts(
+            df, depth=4, width=8, min_estimate=2
+        ).collect()
+    }
+
+    toks = [t for _, x in corpus for t in _re.split(r"[^a-z0-9]+", x.lower()) if t]
+    exact = {}
+    for t in toks:
+        exact[t] = exact.get(t, 0) + 1
+    sketch = {}
+    for t in toks:
+        for j in range(4):
+            b = _md5_bucket(f"{j}:{t}", 8)
+            sketch[(j, b)] = sketch.get((j, b), 0) + 1
+    expect = {}
+    for t in exact:
+        est = min(sketch[(j, _md5_bucket(f"{j}:{t}", 8))] for j in range(4))
+        if est >= 2:
+            expect[t] = est
+    assert got == expect
+    # one-sided error: estimates never undercount
+    for t, e in got.items():
+        assert e >= exact[t]
