@@ -690,6 +690,16 @@ def dsir_resample(
     )
 
 
+def cms_bucket(term: Column, row: int, width: int) -> Column:
+    """Counter index of ``term`` in sketch row ``row`` — first 60 bits
+    of ``md5('<row>:<term>')`` mod ``width`` (the repo's engine-portable
+    hash convention, replayed verbatim by the DuckDB oracles)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(row)), term)), 1, 15), 16, 10
+    ).cast("long")
+    return h % F.lit(width)
+
+
 def cms_term_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -727,12 +737,7 @@ def cms_term_counts(
     rows = truncate_lineage(term_rows(df, text_col, id_col).select("term"))
 
     def bucket(j: int) -> Column:
-        h = F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("term"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        return h % F.lit(width)
+        return cms_bucket(F.col("term"), j, width)
 
     sketch = None
     for j in range(depth):
@@ -754,4 +759,59 @@ def cms_term_counts(
         .groupBy("term")
         .agg(F.min("c").cast("long").alias("est_count"))
         .filter(F.col("est_count") >= int(min_estimate))
+    )
+
+
+def fm_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    replicas: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """``(group, est_distinct)`` — distinct-value estimate per group by
+    Flajolet–Martin sketches: ``replicas`` 64-bit masks per group, the
+    (replica, value) bit is the trailing-zero count of an md5-derived
+    integer, estimate = 2^(mean over replicas of lowest-unset-bit) / φ
+    (φ = 0.77351).  The same sketch family the ANF operator uses for
+    reachable-set sizes (``operators/anf.py``), applied to plain
+    relational distinct counting.
+
+    Why a sketch when ``count(DISTINCT)`` is exact: the masks are
+    mergeable fixed-size state — ``replicas`` longs per group however
+    many values stream past — so the aggregate is one map-side-combined
+    ``bit_or`` with no per-group distinct-set shuffle; at corpus-scale
+    cardinalities (URLs, n-grams per shard) the exact distinct is the
+    thing that doesn't fit.  md5-derived bits → deterministic, so the
+    DuckDB oracle replays the masks and the *approximate* estimates
+    hash-match exactly (stddev ≈ 0.78/√replicas relative, per the FM
+    analysis).
+    """
+    k = int(replicas)
+    pos_cols = []
+    g = F.col(group_col).alias("g")
+    masks = []
+    for r in range(k):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(f"{seed}:{r}"), F.col(value_col))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        pos = F.least(F.bit_count((h.bitwiseAND(-h)) - 1), F.lit(62)).cast("int")
+        # 1 << pos with a column shift amount: pow(2.0, pos) is exact
+        # for pos <= 62 (powers of two are exact doubles) — the same
+        # construction as operators/anf.py::_init_mask
+        masks.append(F.pow(F.lit(2.0), pos).cast("long").alias(f"m{r}"))
+    rows = df.select(g, *masks)
+    agg = rows.groupBy("g").agg(*[F.bit_or(f"m{r}").alias(f"m{r}") for r in range(k)])
+    # lowest UNSET bit position of each mask = bit_count((~m & -~m) - 1)
+    for r in range(k):
+        nm = F.bitwise_not(F.col(f"m{r}"))
+        pos_cols.append(F.bit_count((nm.bitwiseAND(-nm)) - 1).cast("double"))
+    mean_b = sum(pos_cols) / F.lit(float(k))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.round(F.pow(F.lit(2.0), mean_b) / F.lit(0.77351), 6).alias("est_distinct"),
     )

@@ -260,6 +260,8 @@ def doulion_estimate(
     ``algo.triangleCount`` (TriangleProc.java) with the standard
     scale-out estimator.
     """
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"doulion_estimate: p must be in (0, 1], got {p}")
     canon = (
         graph.edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")

@@ -228,3 +228,43 @@ def streaming_sessions(
             "total_value",
         )
     )
+
+
+def streaming_cms_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """``(j, b, c)`` — a count-min sketch maintained AS the streaming
+    aggregation state: every micro-batch folds its term occurrences
+    into the depth × width counter table.
+
+    This is the streaming twin of ``textstats.cms_term_counts`` with
+    the same md5 bucket function, so the running counters equal the
+    batch sketch over the union of all micro-batches — exactly, not
+    approximately (the sketch's error is in the *estimates*, never the
+    counters).  The whole point of a sketch under streaming: the
+    aggregation state is bounded at depth·width rows FOREVER, no matter
+    how many terms stream past — heavy-hitter tracking over an
+    unbounded corpus with O(1) state, where an exact
+    ``groupBy(term).count()`` stream would grow state with the
+    vocabulary.  Estimates read off the sink table via
+    ``min over rows`` per probe term (one broadcast join against the
+    depth·width table, as in the batch path)."""
+    from ..functions.textstats import cms_bucket, tokens
+
+    terms = docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    pairs = terms.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), cms_bucket(F.col("term"), j, width).alias("b")
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p")
+    ).select("p.j", "p.b")
+    return pairs.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))

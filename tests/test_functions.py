@@ -833,3 +833,43 @@ def test_cms_term_counts_brute_force(spark):
     # one-sided error: estimates never undercount
     for t, e in got.items():
         assert e >= exact[t]
+
+
+def test_fm_distinct_brute_force(spark):
+    """fm_distinct replays a hashlib twin bit-for-bit (masks and
+    estimator), and duplicate values never change a group's masks."""
+    import hashlib
+    import math
+
+    rows = [
+        ("en", "spark"), ("en", "join"), ("en", "spark"), ("en", "filter"),
+        ("en", "merge"), ("fr", "la"), ("fr", "table"), ("fr", "la"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, term string")
+    got = {
+        r["lang"]: r["est_distinct"]
+        for r in textstats.fm_distinct(df, "lang", "term", replicas=16).collect()
+    }
+
+    def est(values):
+        masks = [0] * 16
+        for v in set(values):
+            for r in range(16):
+                h = int(hashlib.md5(f"0:{r}:{v}".encode()).hexdigest()[:15], 16)
+                pos = min(((h & -h) - 1).bit_count(), 62)
+                masks[r] |= 1 << pos
+        s = 0
+        for m in masks:
+            nm = ~m
+            s += ((nm & -nm) - 1).bit_count()
+        return round(2.0 ** (s / 16.0) / 0.77351, 6)
+
+    assert got["en"] == est([t for g, t in rows if g == "en"])
+    assert got["fr"] == est([t for g, t in rows if g == "fr"])
+    # duplicates are absorbed: repeating the corpus changes nothing
+    doubled = df.union(df)
+    got2 = {
+        r["lang"]: r["est_distinct"]
+        for r in textstats.fm_distinct(doubled, "lang", "term", replicas=16).collect()
+    }
+    assert got2 == got

@@ -374,3 +374,61 @@ def test_incremental_sink_compaction_and_replay(spark, tmp_path):
     removed = sink.vacuum()
     assert removed  # old versions dropped
     assert _comp_set(sink.components()) == before
+
+
+def test_streaming_cms_sketch_equals_batch(spark, tmp_path):
+    """The streaming CMS counters equal the batch sketch over the same
+    corpus exactly (bounded depth*width state), and the estimates read
+    off the sink match textstats.cms_term_counts."""
+    from neo4j_graph_algorithms_spark.functions.textstats import (
+        cms_bucket,
+        cms_term_counts,
+    )
+    from neo4j_graph_algorithms_spark.streaming.edge_stream import (
+        streaming_cms_sketch,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    stage = str(tmp_path / "docs_dir")
+    spark.read.parquet(src).write.parquet(stage)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    q = (
+        streaming_cms_sketch(stream, depth=4, width=256)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_sketch")
+        .start()
+    )
+    _drain(q)
+    sketch = spark.sql("SELECT * FROM cms_sketch")
+    assert sketch.count() <= 4 * 256  # bounded state
+    # probe estimates off the streamed sketch == the batch CMS
+    from neo4j_graph_algorithms_spark.functions.textstats import term_rows
+
+    docs = spark.read.parquet(src)
+    vocab = term_rows(docs).select("term").distinct()
+    probes = vocab.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), cms_bucket(F.col("term"), j, 256).alias("b"))
+                    for j in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("term", F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+    streamed_est = {
+        r["term"]: r["est"]
+        for r in probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("term")
+        .agg(F.min("c").cast("long").alias("est"))
+        .filter(F.col("est") >= 100)
+        .collect()
+    }
+    batch_est = {
+        r["term"]: r["est_count"]
+        for r in cms_term_counts(docs, depth=4, width=256, min_estimate=100).collect()
+    }
+    assert streamed_est == batch_est
