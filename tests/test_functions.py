@@ -873,3 +873,41 @@ def test_fm_distinct_brute_force(spark):
         for r in textstats.fm_distinct(doubled, "lang", "term", replicas=16).collect()
     }
     assert got2 == got
+
+
+def test_new_ops_partitioning_invariant(spark):
+    """The determinism claims hold under physical layout changes:
+    kmeans / semdedup / dsir / weighted_sample / cms return identical
+    results regardless of partition count or row order."""
+    from neo4j_graph_algorithms_spark.functions import sampling as smp
+    from neo4j_graph_algorithms_spark.functions import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def stable(fn, frame, *parts):
+        outs = []
+        for p in parts:
+            outs.append({tuple(r) for r in fn(frame.repartition(p)).collect()})
+        assert outs[0] == outs[1], f"layout-dependent result from {fn}"
+        return outs[0]
+
+    stable(lambda d: sim.kmeans(d, k=5, iterations=2), emb, 2, 13)
+    stable(lambda d: sim.semdedup(d, threshold=0.3, k=5), emb, 3, 11)
+    stable(
+        lambda d: textstats.dsir_log_weights(
+            d, d.filter(F.col("lang") == "en"), n_buckets=128
+        ),
+        docs, 2, 9,
+    )
+    stable(lambda d: smp.weighted_sample(d, 20, "n_chars"), docs, 2, 7)
+    stable(lambda d: textstats.cms_term_counts(d, width=128, min_estimate=50), docs, 2, 5)
+    stable(
+        lambda d: textstats.fm_distinct(
+            textstats.term_rows(d).join(
+                d.select(F.col("doc_id").cast("long").alias("doc_id"), "lang"), "doc_id"
+            ),
+            "lang", "term", replicas=8,
+        ),
+        docs, 2, 6,
+    )
