@@ -190,17 +190,12 @@ def ivf_topk(
         .limit(n_centroids)
         .select(F.col("vec_id").alias("cent_id"), F.col("cv").alias("cent_v"))
     )
-    csim = F.round(cosine(F.col("cv"), F.col("cent_v")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cent_id")
-    )
-    assignment = (
-        c.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cv", "cent_id", csim.alias("csim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cv", "cent_id")
-    )
+    # corpus-side nearest-centroid argmax: packed-long hash aggregate
+    # (no corpus-wide window sort) — see _nearest_centroid; the
+    # query-side probes below keep the window because they need the
+    # TOP-nprobe centroids, not an argmax, and the query set is the
+    # small side by construction
+    assignment = _nearest_centroid(c, cents, "cv", ["vec_id", "cv"])
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -331,6 +326,44 @@ def _unscaled(col: Column) -> Column:
     return F.transform(col, lambda v: v.cast("double") / 1e6)
 
 
+def _nearest_centroid(
+    frame: DataFrame,
+    cents_df: DataFrame,
+    vec: str,
+    carry: list[str],
+) -> DataFrame:
+    """``(*carry, cent_id)`` — each row's nearest centroid by
+    (6-dp-rounded cosine desc, cent_id asc), as a WHOLE-STAGE-CODEGEN
+    hash aggregate instead of a row_number window: (rounded sim,
+    inverted dense centroid rank) packed into ONE long, max(pack) under
+    groupBy — the primitive buffer keeps HashAggregate (a struct max
+    buffer or a window both fall back to sorting the k-row fanout per
+    partition).  ``round(cos·10^6)`` is order-equivalent to the
+    6-dp-rounded cosine (k ↦ double(k/10^6) is monotone injective for
+    |k| ≤ 10^6), so the argmax matches the oracles' rounded-cosine
+    tie-break exactly.  The map-side partial collapses the k-row fanout
+    before the one exchange; the decode back to cent_id is a broadcast
+    k-row join."""
+    # k rows — the constant partition key only silences Spark's
+    # single-partition-window warning; the table IS k rows
+    idx_w = Window.partitionBy(F.lit(0)).orderBy("cent_id")
+    cents_i = cents_df.withColumn("idx", F.row_number().over(idx_w) - 1)
+    ci = F.round(cosine(F.col(vec), F.col("cent_v")) * 1e6).cast("long")
+    pack = ci * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("idx"))
+    decode_idx = F.lit((1 << 20) - 1) - F.pmod(F.col("p"), F.lit(1 << 20))
+    return (
+        frame.crossJoin(F.broadcast(cents_i))
+        .select(*carry, pack.alias("pk"))
+        .groupBy(*carry)
+        .agg(F.max("pk").alias("p"))
+        .join(
+            F.broadcast(cents_i.select("idx", "cent_id")),
+            decode_idx == F.col("idx"),
+        )
+        .select(*carry, "cent_id")
+    )
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -373,35 +406,8 @@ def kmeans(
     )
 
     def assign(frame: DataFrame, cents_df: DataFrame) -> DataFrame:
-        # argmax as a WHOLE-STAGE-CODEGEN hash aggregate, not a
-        # row_number window: pack (rounded sim, centroid index) into ONE
-        # long — max(pack) picks (sim desc, cent_id asc) and the
-        # primitive buffer keeps HashAggregate (a struct-typed max
-        # buffer demotes to SortAggregate, re-sorting the k-row fanout
-        # per partition).  Packing: round(cos·10^6) is order-equivalent
-        # to the 6-dp-rounded cosine (k ↦ double(k/10^6) is monotone and
-        # injective for |k| ≤ 10^6), and the centroid's dense rank
-        # (ascending cent_id) occupies the low 20 bits inverted, so
-        # larger pack = better sim, then smaller cent_id.  The map-side
-        # partial collapses the fanout before the one exchange.
-        # k rows — the constant partition key only silences Spark's
-        # single-partition-window warning; the table IS k rows
-        idx_w = Window.partitionBy(F.lit(0)).orderBy("cent_id")
-        cents_i = cents_df.withColumn("idx", F.row_number().over(idx_w) - 1)
-        ci = F.round(cosine(F.col("cv"), F.col("cent_v")) * 1e6).cast("long")
-        pack = ci * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("idx"))
-        decode_idx = F.lit((1 << 20) - 1) - F.pmod(F.col("p"), F.lit(1 << 20))
-        return (
-            frame.crossJoin(F.broadcast(cents_i))
-            .select("vec_id", "sv", "cv", pack.alias("pk"))
-            .groupBy("vec_id", "sv", "cv")
-            .agg(F.max("pk").alias("p"))
-            .join(
-                F.broadcast(cents_i.select("idx", "cent_id")),
-                decode_idx == F.col("idx"),
-            )
-            .select("vec_id", "sv", "cv", "cent_id")
-        )
+        # packed-long argmax hash aggregate — see _nearest_centroid
+        return _nearest_centroid(frame, cents_df, "cv", ["vec_id", "sv", "cv"])
 
     for _ in range(iterations):
         a = assign(c, cents)
