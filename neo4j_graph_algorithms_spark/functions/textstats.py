@@ -594,12 +594,13 @@ def _dsir_feature_buckets(
 
 def dsir_log_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     add_k: float = 1.0,
     salt: str = "dsir",
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """``(doc_id, n_features, log_weight)`` — DSIR importance weights
     (Xie et al., NeurIPS'23 "Data Selection for Language Models via
@@ -626,17 +627,35 @@ def dsir_log_weights(
     """
     from ..plans.checkpoint import truncate_lineage
 
+    if (target is None) == (target_ids is None):
+        raise ValueError(
+            "dsir_log_weights: pass exactly one of target (a separate "
+            "corpus with its own text) or target_ids (ids of the raw "
+            "corpus's own rows — the subset fast path)"
+        )
     doc_b = truncate_lineage(
         _dsir_feature_buckets(df, text_col, id_col, n_buckets, salt)
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("m"))
     )
     raw = doc_b.groupBy("b").agg(F.sum("m").cast("long").alias("cr"))
-    targ = (
-        _dsir_feature_buckets(target, text_col, id_col, n_buckets, salt)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
-    )
+    if target_ids is not None:
+        # target ⊆ raw corpus: fold the target bucket counts out of the
+        # already-cut per-doc aggregate instead of tokenizing the
+        # corpus a second time — at 100 TB this halves the scan cost,
+        # and the target-id set is doc-count-sized (broadcastable)
+        ids = target_ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+        targ = (
+            doc_b.join(F.broadcast(ids), "doc_id", "left_semi")
+            .groupBy("b")
+            .agg(F.sum("m").cast("long").alias("ct"))
+        )
+    else:
+        targ = (
+            _dsir_feature_buckets(target, text_col, id_col, n_buckets, salt)
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        )
     total_raw = int(doc_b.agg(F.sum("m")).first()[0] or 0)
     total_t = int(targ.agg(F.sum("ct")).first()[0] or 0)
     kb = float(add_k) * float(n_buckets)
@@ -659,13 +678,14 @@ def dsir_log_weights(
 
 def dsir_resample(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     n: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     add_k: float = 1.0,
     salt: str = "dsir",
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """``(doc_id, log_weight, score)`` — the top-``n`` documents under
     Gumbel-top-k resampling of the DSIR weights: sampling n docs
@@ -677,7 +697,7 @@ def dsir_resample(
     from .sampling import hash_bucket
 
     lw = dsir_log_weights(
-        df, target, text_col, id_col, n_buckets, add_k, salt
+        df, target, text_col, id_col, n_buckets, add_k, salt, target_ids
     )
     u = (
         hash_bucket(F.col("doc_id"), f"{salt}-gumbel").cast("double") + F.lit(0.5)

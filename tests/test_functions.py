@@ -911,3 +911,25 @@ def test_new_ops_partitioning_invariant(spark):
         ),
         docs, 2, 6,
     )
+
+
+def test_dsir_subset_fast_path_equals_target_corpus(spark):
+    """target_ids (subset fast path, one tokenize) == passing the
+    subset as its own target corpus (two tokenizes)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sub = docs.filter(F.col("lang") == "de")
+    slow = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in textstats.dsir_log_weights(docs, sub, n_buckets=256).collect()
+    }
+    fast = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in textstats.dsir_log_weights(
+            docs, n_buckets=256, target_ids=sub.select("doc_id")
+        ).collect()
+    }
+    assert fast == slow
+    with pytest.raises(ValueError):
+        textstats.dsir_log_weights(docs)  # neither target form
+    with pytest.raises(ValueError):
+        textstats.dsir_log_weights(docs, sub, target_ids=sub.select("doc_id"))
