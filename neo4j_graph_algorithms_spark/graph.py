@@ -334,6 +334,40 @@ class Graph:
             .agg(F.count(F.lit(1)).alias("frequency"))
         )
 
+    def powerlaw_alpha(self, x_min: int = 1, direction: str = "OUT") -> DataFrame:
+        """One-row power-law exponent fit of the degree distribution —
+        ``(x_min, n_tail, alpha, sigma)``: the discrete MLE
+        ``α̂ = 1 + n / Σ ln(d_i / (x_min − ½))`` over the n_tail
+        vertices with degree ≥ x_min, with standard error
+        ``σ = (α̂ − 1)/√n`` (Clauset, Shalizi & Newman 2009, eq. 3.7 —
+        the estimator every web-graph degree-distribution claim is
+        fitted with).  Real link graphs are heavy-tailed; α̂ ∈ [2, 3]
+        is the regime where hub-splitting (``Graph.adjacency``'s salt)
+        is mandatory, so this is the capacity-planning statistic read
+        before choosing the partition strategy.  ``alpha`` is NULL when
+        no vertex reaches x_min.  One degree aggregate + one global
+        aggregate — map-side combined, no windows."""
+        if direction == "OUT":
+            deg = self.out_degrees()
+        elif direction == "IN":
+            deg = self.in_degrees()
+        else:
+            raise ValueError(f"direction must be OUT or IN, got {direction!r}")
+        tail = deg.filter(F.col("degree") >= int(x_min))
+        ratio = F.col("n_tail") / F.col("s")
+        return (
+            tail.agg(
+                F.count(F.lit(1)).alias("n_tail"),
+                F.sum(F.log(F.col("degree") / F.lit(float(x_min) - 0.5))).alias("s"),
+            )
+            .select(
+                F.lit(int(x_min)).cast("long").alias("x_min"),
+                F.col("n_tail").cast("long").alias("n_tail"),
+                F.round(F.lit(1.0) + ratio, 6).alias("alpha"),
+                F.round(ratio / F.sqrt(F.col("n_tail")), 6).alias("sigma"),
+            )
+        )
+
     def summary_stats(self) -> DataFrame:
         """One-row graph profile — the numbers a capacity plan, a skew
         audit, or a partitioning decision reads before any algorithm

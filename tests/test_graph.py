@@ -126,3 +126,30 @@ def test_undirected_merges_per_pair_weights(spark):
     assert {(r["src"], r["dst"]) for r in filtered.edges.collect()} == {(1, 2), (2, 1)}
     comp = {r["id"]: r["set_id"] for r in wcc(und, threshold=1.0).components.collect()}
     assert comp == {1: 1, 2: 1}
+
+
+def test_powerlaw_alpha_hand_computed(spark):
+    """Graph.powerlaw_alpha matches the CSN discrete MLE computed by
+    hand, and respects x_min / direction."""
+    import math
+
+    from neo4j_graph_algorithms_spark import Graph
+
+    # out-degrees: 1->3, 2->2, 3->1, 4->0 (4 is dst-only)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    row = g.powerlaw_alpha(x_min=1).first()
+    degs = [3, 2, 1]  # degree >= 1
+    s = sum(math.log(d / 0.5) for d in degs)
+    assert row["n_tail"] == 3
+    assert row["alpha"] == round(1.0 + 3 / s, 6)
+    assert row["sigma"] == round((3 / s) / math.sqrt(3), 6)
+    # x_min=2 drops the degree-1 vertex
+    row2 = g.powerlaw_alpha(x_min=2).first()
+    s2 = sum(math.log(d / 1.5) for d in (3, 2))
+    assert row2["n_tail"] == 2 and row2["alpha"] == round(1.0 + 2 / s2, 6)
+    # empty tail -> NULL alpha, not a crash
+    row3 = g.powerlaw_alpha(x_min=10).first()
+    assert row3["n_tail"] == 0 and row3["alpha"] is None
