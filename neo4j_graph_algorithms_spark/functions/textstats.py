@@ -806,6 +806,12 @@ def fm_distinct(
     DuckDB oracle replays the masks and the *approximate* estimates
     hash-match exactly (stddev ≈ 0.78/√replicas relative, per the FM
     analysis).
+
+    Pure transform — works verbatim on a STREAMING DataFrame
+    (complete/update mode): the bit_or aggregation state is the
+    bounded mask table, and because sketches are mergeable the running
+    estimates equal the batch estimates over the union of all
+    micro-batches (pytest ``test_streaming_fm_distinct_equals_batch``).
     """
     k = int(replicas)
     pos_cols = []

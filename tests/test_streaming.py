@@ -432,3 +432,47 @@ def test_streaming_cms_sketch_equals_batch(spark, tmp_path):
         for r in cms_term_counts(docs, depth=4, width=256, min_estimate=100).collect()
     }
     assert streamed_est == batch_est
+
+
+def test_streaming_fm_distinct_equals_batch(spark, tmp_path):
+    """textstats.fm_distinct is a pure transform, so the SAME function
+    runs on a streaming frame (bounded state: replicas longs per
+    group) and its running estimates equal the batch estimates over
+    the union of all micro-batches — sketches are mergeable."""
+    from neo4j_graph_algorithms_spark.functions.textstats import (
+        fm_distinct,
+        tokens,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    stage = str(tmp_path / "docs_fm")
+    spark.read.parquet(src).write.parquet(stage)
+    schema = spark.read.parquet(src).schema
+
+    def lang_terms(docs):
+        # no join (stream-stream joins are append-mode-only): the lang
+        # column rides the explode
+        return docs.select(
+            "lang", F.explode(tokens(F.col("text"))).alias("term")
+        )
+
+    stream = spark.readStream.schema(schema).parquet(stage)
+    q = (
+        fm_distinct(lang_terms(stream), "lang", "term", replicas=8)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("fm_stream")
+        .start()
+    )
+    _drain(q)
+    streamed = {
+        r["lang"]: r["est_distinct"]
+        for r in spark.sql("SELECT * FROM fm_stream").collect()
+    }
+    batch = {
+        r["lang"]: r["est_distinct"]
+        for r in fm_distinct(
+            lang_terms(spark.read.parquet(src)), "lang", "term", replicas=8
+        ).collect()
+    }
+    assert streamed == batch
