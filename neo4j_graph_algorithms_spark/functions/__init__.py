@@ -100,7 +100,8 @@ _PROCEDURES = [
     ("algo.scc.iterative.stream", "algorithm", "operators.scc.scc"),
     ("algo.scc.multistep", "algorithm", "operators.scc.scc"),
     ("algo.scc.multistep.stream", "algorithm", "operators.scc.scc"),
-    ("algo.scc.forwardBackward.stream", "algorithm", "operators.scc.scc"),
+    ("algo.scc.forwardBackward.stream", "algorithm", "operators.scc.scc_forward_backward"),
+    ("algo.scc.forwardBackward", "algorithm", "operators.scc.scc_forward_backward"),
     ("algo.mst", "algorithm", "operators.mst.mst"),
     ("algo.betweenness", "algorithm", "operators.betweenness.betweenness_centrality"),
     ("algo.betweenness.stream", "algorithm", "operators.betweenness.betweenness_centrality"),

@@ -348,7 +348,13 @@ def _nearest_centroid(
     # single-partition-window warning; the table IS k rows
     idx_w = Window.partitionBy(F.lit(0)).orderBy("cent_id")
     cents_i = cents_df.withColumn("idx", F.row_number().over(idx_w) - 1)
-    ci = F.round(cosine(F.col(vec), F.col("cent_v")) * 1e6).cast("long")
+    # derive the packed key from LITERALLY F.round(cos, 6) — the value
+    # the oracles and the rest of the repo compare — so a cosine whose
+    # 7th decimal digit is a 5 cannot round differently here than
+    # there (ADVICE r3).  round(cos,6)*1e6 is within 1/2 ulp of an
+    # integer for |cos| <= 1, so the outer 0-dp round (not the
+    # truncating cast alone) recovers it exactly.
+    ci = F.round(F.round(cosine(F.col(vec), F.col("cent_v")), 6) * 1e6).cast("long")
     pack = ci * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("idx"))
     decode_idx = F.lit((1 << 20) - 1) - F.pmod(F.col("p"), F.lit(1 << 20))
     return (
@@ -460,33 +466,40 @@ def semdedup(
     a = kmeans(df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col)
     # vertex-sized and referenced three times (lo side, hi side, final
     # kept-flag join) — cut the lineage so the k-means pipeline runs
-    # once.  Vectors are unit-normalized HERE, once per vector, so the
-    # O(Σ|cluster|²) pair test below is a plain dot product — measured
-    # ~2.5× less per-pair work than re-deriving both norms per pair
-    # (cosine(a,b) == dot(a/|a|, b/|b|); zero vectors stay zero, which
-    # reproduces cosine()'s 0-for-zero-vector convention).
+    # once.  Each row carries its RAW vector plus its precomputed norm,
+    # so the O(Σ|cluster|²) pair test below evaluates the *identical
+    # expression tree* as cosine(raw, raw) — dot(a,b)/(|a|·|b|) with
+    # per-vector |·| — matching the DuckDB oracle's
+    # list_cosine_similarity bit-for-bit on the proven-parity FP path
+    # (ADVICE r3: the previous normalize-then-dot variant could differ
+    # by 1 ulp at the 6-dp threshold boundary).  The per-vector norm
+    # is still computed once, not per pair — the optimization that
+    # mattered (~2.5× less per-pair work) is kept.
     cv = F.col("cv")
-    vn = F.when(_norm(cv) > 0, F.transform(cv, lambda x: x / _norm(cv))).otherwise(cv)
     c = truncate_lineage(
         df.select(
             F.col(id_col).alias("vec_id"),
             _unscaled(_scaled_vec(F.col(vec_col))).alias("cv"),
         )
         .join(a, "vec_id")
-        .select("vec_id", "cluster", vn.alias("vn"))
+        .select("vec_id", "cluster", cv.alias("vn"), _norm(cv).alias("nrm"))
     )
     lo = c.select(
-        F.col("cluster"), F.col("vec_id").alias("lo_id"), F.col("vn").alias("lo_v")
+        F.col("cluster"), F.col("vec_id").alias("lo_id"),
+        F.col("vn").alias("lo_v"), F.col("nrm").alias("lo_n"),
     )
     hi = c.select(
-        F.col("cluster"), F.col("vec_id").alias("hi_id"), F.col("vn").alias("hi_v")
+        F.col("cluster"), F.col("vec_id").alias("hi_id"),
+        F.col("vn").alias("hi_v"), F.col("nrm").alias("hi_n"),
     )
+    pair_cos = F.when(
+        (F.col("lo_n") > 0) & (F.col("hi_n") > 0),
+        _dot(F.col("lo_v"), F.col("hi_v")) / (F.col("lo_n") * F.col("hi_n")),
+    ).otherwise(F.lit(0.0))
     dropped = (
         hi.join(lo.hint("SHUFFLE_HASH"), "cluster")
         .filter(F.col("lo_id") < F.col("hi_id"))
-        .filter(
-            F.round(_dot(F.col("lo_v"), F.col("hi_v")), 6) >= F.lit(threshold)
-        )
+        .filter(F.round(pair_cos, 6) >= F.lit(threshold))
         .select(F.col("hi_id").alias("vec_id"))
         .distinct()
     )

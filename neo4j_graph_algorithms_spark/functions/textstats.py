@@ -584,8 +584,13 @@ def _dsir_feature_buckets(
     from .sampling import hash_bucket
 
     uni = term_rows(df, text_col, id_col).select("doc_id", F.col("term").alias("f"))
+    # term_rows casts doc_id to long; mirror it here so both union
+    # branches have an identical schema for ANY source id type — a
+    # string id would otherwise coerce the unioned column and silently
+    # miss the cast-to-long target_ids semi-join fast path (ADVICE r3)
     bi = bigram_rows(df, text_col, id_col).select(
-        "doc_id", F.concat_ws(" ", "w1", "w2").alias("f")
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(" ", "w1", "w2").alias("f"),
     )
     return uni.unionByName(bi).select(
         "doc_id", hash_bucket(F.col("f"), salt, n_buckets).alias("b")

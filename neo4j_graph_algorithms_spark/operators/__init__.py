@@ -24,7 +24,7 @@ from .msbfs import (
     harmonic_centrality,
     all_shortest_paths_unweighted,
 )
-from .scc import condensation, scc
+from .scc import condensation, scc, scc_forward_backward
 from .mst import mst, minimum_spanning_forest
 from .betweenness import betweenness_centrality
 from .linkpred import neighbor_similarity
@@ -59,6 +59,7 @@ __all__ = [
     "harmonic_centrality",
     "all_shortest_paths_unweighted",
     "scc",
+    "scc_forward_backward",
     "mst",
     "minimum_spanning_forest",
     "betweenness_centrality",

@@ -256,6 +256,77 @@ def scc(
     return SccResult(components=assigned, rounds=rounds, metrics=metrics)
 
 
+def _reachable(edges: DataFrame, seed: DataFrame, forward: bool) -> DataFrame:
+    """``(id)`` — vertices reachable from ``seed`` along edge direction
+    (forward: src→dst) including the seed itself.  Frontier BFS: each
+    superstep joins the (shrinking-or-growing, never corpus-sized)
+    frontier against the edge table and anti-joins the visited set —
+    per-level checkpoints retired once their successor materializes."""
+    cache = SuperstepCache(edges.sparkSession)
+    visited = truncate_lineage(seed.select("id"))
+    frontier = visited
+    cache.track(visited)
+    while True:
+        if forward:
+            step = edges.join(
+                frontier.select(F.col("id").alias("src")).hint("SHUFFLE_HASH"), "src"
+            ).select(F.col("dst").alias("id"))
+        else:
+            step = edges.join(
+                frontier.select(F.col("id").alias("dst")).hint("SHUFFLE_HASH"), "dst"
+            ).select(F.col("src").alias("id"))
+        nf = truncate_lineage(
+            step.distinct().join(visited, "id", "left_anti"), eager=False
+        )
+        # full count, NOT isEmpty: the lazy checkpoint must be fully
+        # materialized before cache.track retires its predecessor
+        # (isEmpty stops at the first non-empty partition and the rest
+        # would be uncomputable once the parent is unpersisted)
+        if nf.count() == 0:
+            # keep `visited` live (the caller reads and then retires
+            # it); this retires only the loop's frontier checkpoints
+            cache.track(visited)
+            break
+        visited = truncate_lineage(visited.unionByName(nf))
+        frontier = nf
+        cache.track(visited, nf)
+    return visited  # persisted — caller must retire it after use
+
+
+def scc_forward_backward(graph: Graph, start_node: int) -> DataFrame:
+    """``(node_id)`` — the members of the ONE strongly connected
+    component containing ``start_node`` (reference
+    ``impl/ForwardBackwardScc.java:46-66`` /
+    ``algo.scc.forwardBackward.stream(startNodeId)``): forward BFS from
+    the seed gives the descendant set D, a backward BFS from the seed
+    *restricted to D* gives the ancestors-within-D, and the SCC is the
+    intersection — exactly the reference's ``scc.retainAll(descendant)``
+    (VERDICT r3 gap: the full-SCC alias computed a superset with a
+    different YIELD shape).
+
+    Scale shape: two frontier BFSes (frontier-sized joins per level,
+    SHUFFLE_HASH — the edge side never re-sorts), one semi-join to
+    restrict the backward edge set to D×D, output |SCC| rows."""
+    spark = graph.spark
+    edges = truncate_lineage(graph.edges.select("src", "dst").dropDuplicates())
+    seed = spark.createDataFrame([(int(start_node),)], "id long")
+    desc = _reachable(edges, seed, forward=True)
+    # backward sweep stays inside D: both endpoints restricted so the
+    # traversal can neither leave nor re-enter through outside vertices
+    d_edges = truncate_lineage(
+        edges.join(desc.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(desc.select(F.col("id").alias("dst")), "dst", "left_semi")
+    )
+    anc = _reachable(d_edges, seed, forward=False)
+    out = truncate_lineage(
+        anc.join(desc, "id", "left_semi").select(F.col("id").alias("node_id"))
+    )  # eager — owns its data before the intermediates are retired
+    cache = SuperstepCache(spark)
+    cache.track(edges, desc, d_edges, anc)
+    cache.release()
+    return out
+
+
 def condensation(graph: Graph, components: DataFrame | None = None) -> DataFrame:
     """Condensation (SCC quotient) graph — ``(src, dst, edge_count)``
     where ``src``/``dst`` are SCC ids and ``edge_count`` is the number

