@@ -87,6 +87,10 @@ _PROCEDURES = [
     ("algo.harmonic", "algorithm", "operators.msbfs.harmonic_centrality"),
     ("algo.harmonic.stream", "algorithm", "operators.msbfs.harmonic_centrality"),
     ("algo.allShortestPaths.stream", "algorithm", "operators.msbfs.all_shortest_paths_unweighted"),
+    # the reference proc dispatches to impl/AllShortestPaths.java (multi-
+    # source weighted Dijkstra) when weightProperty is configured; the
+    # engine exposes that branch under an explicit name
+    ("algo.allShortestPaths.weighted.stream", "algorithm", "operators.sssp.all_shortest_paths_weighted"),
     # the reference's SCC family (Tarjan / tunedTarjan / iterative /
     # multistep / forwardBackward) computes the identical component
     # partition via different sequential/parallel schedules; the

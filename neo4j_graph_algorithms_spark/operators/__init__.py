@@ -17,7 +17,12 @@ from .triangles import (
     triangle_stream,
 )
 from .louvain import conductance, louvain, modularity
-from .sssp import shortest_paths, shortest_path, shortest_path_nodes
+from .sssp import (
+    all_shortest_paths_weighted,
+    shortest_path,
+    shortest_path_nodes,
+    shortest_paths,
+)
 from .msbfs import (
     msbfs_levels,
     closeness_centrality,
@@ -58,6 +63,7 @@ __all__ = [
     "closeness_centrality",
     "harmonic_centrality",
     "all_shortest_paths_unweighted",
+    "all_shortest_paths_weighted",
     "scc",
     "scc_forward_backward",
     "mst",

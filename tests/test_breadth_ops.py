@@ -827,3 +827,28 @@ def test_scc_forward_backward_seed_scoped(spark):
 
     got = call("algo.scc.forwardBackward.stream", g, start_node=1)
     assert {r["node_id"] for r in got.collect()} == {0, 1, 2}
+
+
+def test_all_shortest_paths_weighted_matches_dijkstra(spark):
+    """Batched multi-source weighted APSP (AllShortestPaths.java twin):
+    distances for every (source, target) pair match per-source
+    Dijkstra; unreached pairs are absent; self pairs are 0."""
+    from neo4j_graph_algorithms_spark.operators import all_shortest_paths_weighted
+
+    g = Graph.from_edge_list(spark, SSSP_EDGES, vertices=range(7))
+    out = all_shortest_paths_weighted(g, sources=[0, 1, 5])
+    got = {
+        (r["source_node_id"], r["target_node_id"]): r["distance"]
+        for r in out.collect()
+    }
+    G = _nx_digraph(SSSP_EDGES)
+    want = {}
+    for s in (0, 1, 5):
+        for t, d in nx.single_source_dijkstra_path_length(G, s).items():
+            want[(s, t)] = d
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+    # sources=None covers every vertex
+    full = all_shortest_paths_weighted(g)
+    assert full.filter(F.col("source_node_id") == F.col("target_node_id")).count() == 7
