@@ -275,9 +275,14 @@ def _run_edges_fold(
     Per superstep this leaves exactly: one co-partitioned scatter join
     (SHUFFLE_HASH, zero exchange), one map-side-combined gather
     exchange, one ≤|active|-row lazy checkpoint.  Per k-superstep batch:
-    one k·|V|-row fold exchange + one |V|-row rank cache write —
-    replacing the old k |V|-row joins and k |V|-row state cache writes.
-    Measured ~25% lower superstep latency on the 20M-edge north input.
+    ONE driver job — the lazily-checkpointed fold (which carries the
+    batch-final msg as a ``last_msg`` column) is executed by the stats
+    aggregate, so one k·|V|-row fold exchange + one |V|-row rank cache
+    write replace the old k |V|-row joins and k |V|-row state cache
+    writes, at the old loop's one-job-per-batch dispatch cost.
+    Measured ~25% lower superstep latency on the 20M-edge north input;
+    the single-job fold keeps small latency-bound graphs at parity with
+    the state-join loop (the two-job version was 2x slower there).
     """
     spark = graph.spark
     d = float(damping)
@@ -285,12 +290,24 @@ def _run_edges_fold(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     t_load0 = time.time()
 
-    out_deg = graph.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Evaluate the user's edge subtree EXACTLY ONCE: the edge DataFrame
+    # is arbitrary SQL (projections, joins — at 100 TB the expensive
+    # scan), and out-degree / odeg-join / vertex derivation would each
+    # re-run it.  Persist the src-partitioned base first; everything
+    # below reads the cache, and the base is released once the final
+    # decorated edge table is materialized.
+    cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
+    base = graph.edges.select(*cols)
+    if not graph.src_partitioned:
+        base = base.repartition(n_part, "src")
+    base = base.persist()
+    base.count()
+
+    out_deg = base.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     if weighted:
-        wsum = graph.edges.groupBy("src").agg(F.sum("weight").alias("wsum"))
+        wsum = base.groupBy("src").agg(F.sum("weight").alias("wsum"))
         edges = (
-            graph.edges.select("src", "dst", "weight")
-            .join(wsum, "src")
+            base.join(wsum, "src")
             .select("src", "dst", (F.col("weight") / F.col("wsum")).alias("share"))
         )
     else:
@@ -299,8 +316,7 @@ def _run_edges_fold(
         # odeg) with zero extra joins; dangling dsts get odeg 0 and
         # fall out of the frontier (they absorb rank, push nothing)
         edges = (
-            graph.edges.select("src", "dst")
-            .join(
+            base.join(
                 out_deg.select(
                     F.col("src").alias("dst"), F.col("outdeg").alias("odeg")
                 ),
@@ -309,11 +325,22 @@ def _run_edges_fold(
             )
             .select("src", "dst", F.coalesce("odeg", F.lit(0)).alias("odeg"))
         )
-    if graph.src_partitioned:
-        edges = edges.persist()
-    else:
-        edges = edges.repartition(n_part, "src").persist()
+    edges = edges.repartition(n_part, "src").persist()
     edges.count()
+    # vertex set from the cached base (graph.vertices would re-run the
+    # user subtree when no explicit vertex table was provided); the
+    # rank/frontier inits below are EAGER truncations, so base is still
+    # cached when these lazy views materialize — unpersisted right after
+    if graph._vertices is not None:  # noqa: SLF001
+        verts = graph.vertices
+    elif graph.symmetrized:
+        verts = base.select(F.col("src").alias("id")).distinct()
+    else:
+        verts = (
+            base.select(F.col("src").alias("id"))
+            .union(base.select(F.col("dst").alias("id")))
+            .distinct()
+        )
 
     def denom(col):
         return col + F.lit(outdeg_offset) if outdeg_offset else col
@@ -321,14 +348,14 @@ def _run_edges_fold(
     if source_nodes is not None:
         srcs = spark.createDataFrame([(int(v),) for v in source_nodes], "id long")
         seeded = srcs.withColumn("seeded", F.lit(True))
-        ranks = graph.vertices.join(seeded, "id", "left").select(
+        ranks = verts.join(seeded, "id", "left").select(
             "id",
             F.when(F.col("seeded"), F.lit(alpha)).otherwise(F.lit(0.0)).alias("rank"),
         )
         starts = srcs
     else:
-        ranks = graph.vertices.select("id", F.lit(alpha).alias("rank"))
-        starts = graph.vertices.select("id")
+        ranks = verts.select("id", F.lit(alpha).alias("rank"))
+        starts = verts.select("id")
     ranks = truncate_lineage(ranks.repartition(n_part, "id"))
     if weighted:
         frontier = starts.select(F.col("id").alias("src"), F.lit(alpha).alias("delta"))
@@ -339,6 +366,7 @@ def _run_edges_fold(
             (F.lit(alpha) / denom(F.col("outdeg"))).alias("push"),
         )
     frontier = truncate_lineage(frontier)
+    base.unpersist()  # every downstream read now hits `edges`/the inits
     cache = SuperstepCache(spark)
     cache.track(ranks, frontier)
     load_millis = int(1000 * (time.time() - t_load0))
@@ -379,25 +407,25 @@ def _run_edges_fold(
             )
         iter_metrics: dict = {"algorithm": "pagerank"}
         if it % interval == 0 or it >= max_iterations:
-            # ONE materializing job per batch: max-delta + active count
-            # (this also caches every lazily-checkpointed level)
-            stats = msgs.agg(
-                F.max(F.abs(F.lit(d) * F.col("msg"))).alias("max_delta"),
-                F.sum(F.when(F.col("msg") != 0.0, 1).otherwise(0)).alias("active"),
-            ).first()
-            iter_metrics.update(
-                max_delta=float(stats["max_delta"] or 0.0),
-                active_vertices=int(stats["active"] or 0),
-            )
-            # fold the batch into ranks, in superstep order (bit-exact)
+            # fold the batch into ranks, in superstep order (bit-exact),
+            # carrying the batch-FINAL level's msg as a column so ONE
+            # lazily-checkpointed aggregate both materializes the whole
+            # batch (each msgs level caches as it computes) and yields
+            # the convergence stats — one driver job per batch, not the
+            # former stats-job + eager-fold pair (2x on latency-bound
+            # small graphs where the job dispatch is the whole cost)
             tagged = None
+            lvl_cols = ["msg"] if weighted else ["msg", "odeg"]
             for t, m in batch:
-                part = m.select("id", F.lit(t).alias("t"), "msg")
+                part = m.select("id", F.lit(t).alias("t"), *lvl_cols)
                 tagged = part if tagged is None else tagged.unionByName(part)
-            arr = tagged.groupBy("id").agg(
-                F.collect_list(F.struct("t", "msg")).alias("am")
-            )
-            ranks = ranks.join(arr.hint("SHUFFLE_HASH"), "id", "left").select(
+            arr_aggs = [F.collect_list(F.struct("t", "msg")).alias("am")]
+            if not weighted:
+                # odeg is constant per vertex; max over the levels that
+                # carried it reproduces it for the frontier rebuild
+                arr_aggs.append(F.max("odeg").alias("odeg"))
+            arr = tagged.groupBy("id").agg(*arr_aggs)
+            folded = ranks.join(arr.hint("SHUFFLE_HASH"), "id", "left").select(
                 "id",
                 F.when(F.col("am").isNull(), F.col("rank"))
                 .otherwise(
@@ -408,13 +436,55 @@ def _run_edges_fold(
                     )
                 )
                 .alias("rank"),
+                # the level-`it` msg, null when this vertex received
+                # nothing in the batch-final superstep (F.get: null on
+                # empty/missing — ANSI-safe, unlike element_at)
+                F.get(
+                    F.filter("am", lambda x: x["t"] == F.lit(it)), 0
+                )["msg"].alias("last_msg"),
+                *([] if weighted else [F.col("odeg")]),
             )
-            ranks = truncate_lineage(ranks)  # eager
+            folded = truncate_lineage(folded, eager=False)
+            stats = folded.agg(
+                F.max(F.abs(F.lit(d) * F.col("last_msg"))).alias("max_delta"),
+                F.sum(
+                    F.when(F.col("last_msg") != 0.0, 1).otherwise(0)
+                ).alias("active"),
+            ).first()
+            iter_metrics.update(
+                max_delta=float(stats["max_delta"] or 0.0),
+                active_vertices=int(stats["active"] or 0),
+            )
+            ranks = folded.select("id", "rank")
+            # Rebuild the frontier from the TRUNCATED folded state, not
+            # from the batch's last msgs level: RDD.doCheckpoint only
+            # truncates the first checkpoint-marked RDD it reaches from
+            # the job's final RDD (spark.checkpoint.checkpointAllMarked-
+            # Ancestors defaults false), so the lazily-marked msgs
+            # levels below `folded` never truncate — a frontier chained
+            # on msgs accumulates unbounded lineage across batches
+            # (StackOverflowError past ~100 supersteps).  Same rows,
+            # same expression, so results are unchanged: last_msg IS
+            # the batch-final msg and odeg rides the fold.
+            if weighted:
+                frontier = folded.filter(F.col("last_msg") != 0.0).select(
+                    F.col("id").alias("src"),
+                    (F.lit(d) * F.col("last_msg")).alias("delta"),
+                )
+            else:
+                frontier = folded.filter(
+                    (F.col("last_msg") != 0.0) & (F.col("odeg") > 0)
+                ).select(
+                    F.col("id").alias("src"),
+                    ((F.lit(d) * F.col("last_msg")) / denom(F.col("odeg"))).alias(
+                        "push"
+                    ),
+                )
             # adopt everything (retiring the previous batch), then
             # immediately retire this batch's folded intermediates —
-            # only the last msgs level feeds the next frontier
-            cache.track(ranks, *(m for _, m in batch))
-            cache.track(ranks, batch[-1][1])
+            # the next superstep reads only `folded`
+            cache.track(folded, *(m for _, m in batch))
+            cache.track(folded)
             batch = []
             iter_metrics["wall_ms"] = int(1000 * (time.time() - t0))
             metrics.append(iter_metrics)
