@@ -116,18 +116,33 @@ def neighborhood_function(
     spark = graph.spark
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
-    e = graph.edges.select("src", "dst")
+    # ONE evaluation of the user's edge subtree: persist the raw
+    # projection, build the (optionally doubled) message table and the
+    # vertex set off that cache — the union + vertex derivation were
+    # re-running arbitrary user SQL up to 4x.
+    base = graph.edges.select("src", "dst").persist()
+    base.count()
+    e = base
     if direction_both:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.dropDuplicates(["src", "dst"]).repartition(n_part, "dst").persist()
     e.count()
+    if graph._vertices is not None:  # noqa: SLF001
+        verts = graph.vertices
+    else:
+        verts = (
+            base.select(F.col("src").alias("id"))
+            .union(base.select(F.col("dst").alias("id")))
+            .distinct()
+        )
 
-    state = graph.vertices.select(
+    state = verts.select(
         "id", *[_init_mask(r, seed).alias(c) for r, c in enumerate(cols)]
     )
     state = truncate_lineage(state.repartition(n_part, "id"))
     cache = SuperstepCache(spark)
     cache.track(state)
+    base.unpersist()  # message table persisted, state checkpointed
 
     row0 = state.agg(F.sum(_estimate(cols)).alias("nf")).first()
     nf = [{"distance": 0, "nf_estimate": float(row0["nf"])}]

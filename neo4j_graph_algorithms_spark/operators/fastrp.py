@@ -99,8 +99,12 @@ def fastrp(
     inv_sqrt_d = 1.0 / math.sqrt(float(d))
 
     with aqe_suspended(spark):
+        # ONE evaluation of the user's edge subtree: persist the raw
+        # projection; message table and vertex set derive from the cache
         ecols_in = ["src", "dst"] + (["weight"] if weighted else [])
-        e = graph.edges.select(*ecols_in)
+        base = graph.edges.select(*ecols_in).persist()
+        base.count()
+        e = base
         if direction_both:
             e = e.union(
                 e.select(
@@ -111,8 +115,16 @@ def fastrp(
             )
         e = e.dropDuplicates(["src", "dst"]).repartition(n_part, "src").persist()
         e.count()
+        if graph._vertices is not None:  # noqa: SLF001
+            verts = graph.vertices
+        else:
+            verts = (
+                base.select(F.col("src").alias("id"))
+                .union(base.select(F.col("dst").alias("id")))
+                .distinct()
+            )
 
-        state = graph.vertices.select(
+        state = verts.select(
             "id",
             *[_init_component(j, seed, inv_sqrt_d).alias(c) for j, c in enumerate(xcols)],
             *[F.lit(0.0).alias(c) for c in ecols],
@@ -120,6 +132,7 @@ def fastrp(
         state = truncate_lineage(state.repartition(n_part, "id"))
         cache = SuperstepCache(spark)
         cache.track(state)
+        base.unpersist()  # message table persisted, state checkpointed
 
         metrics: list[dict] = []
         k = max(1, int(check_interval))

@@ -126,7 +126,20 @@ def _run(
 ) -> LabelPropagationResult:
     t_load0 = time.time()
     n_part = int(graph.spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    vertices = graph.vertices.select("id")
+    # Evaluate the user's edge subtree EXACTLY ONCE (arbitrary SQL — at
+    # 100 TB the expensive scan): the raw projection is persisted, the
+    # vote-edge layout AND the vertex set derive from that cache, and
+    # the base is released once the labels init is materialized.
+    base = graph.edges.select("src", "dst", "weight").persist()
+    base.count()
+    if graph._vertices is not None:
+        vertices = graph.vertices.select("id")
+    else:
+        vertices = (
+            base.select(F.col("src").alias("id"))
+            .union(base.select(F.col("dst").alias("id")))
+            .distinct()
+        )
 
     seed = node_labels
     if seed is None and graph._vertices is not None and "partition" in graph._vertices.columns:
@@ -154,7 +167,7 @@ def _run(
 
     # Voting edges (voter ← neighbor): neighbor votes for the voter's new
     # label.  OUTGOING: v's neighbors are its out-targets.
-    e = graph.edges
+    e = base
     if direction == BOTH and graph.symmetrized:
         # Symmetrized view (undirected() or load_graph(sym=True)): each
         # unordered pair is stored both ways already, so ONE orientation
@@ -232,6 +245,7 @@ def _run(
     cache = SuperstepCache(graph.spark)
     labels = truncate_lineage(labels.repartition(n_part, "id"))  # eager
     cache.track(labels)
+    base.unpersist()  # votes_edges persisted, labels checkpointed
 
     load_millis = int(1000 * (time.time() - t_load0))
     t_compute0 = time.time()

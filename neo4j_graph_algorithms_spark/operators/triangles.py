@@ -42,14 +42,40 @@ class TriangleCountResult:
     average_coefficient: float
 
 
-def _oriented_edges(graph: Graph) -> tuple[DataFrame, DataFrame]:
-    """(oriented edges with order keys, undirected degrees).
+def _oriented_edges(graph: Graph) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(oriented edges with order keys, undirected degrees, vertex table).
 
     Orientation key is (undirected degree, id); the oriented edge goes
     low-key → high-key.  Returned columns:
     ``(src, dst, sdeg, ddeg)`` where (sdeg, src) < (ddeg, dst).
+
+    The user's edge subtree (arbitrary SQL — at 100 TB the expensive
+    scan) is evaluated EXACTLY ONCE: the raw projection is persisted,
+    the canonical undirected set is eagerly checkpointed off that
+    cache, and the vertex table (which must include self-loop-only
+    vertices the canonical set drops) is checkpointed off the same
+    cache — previously the degree agg, the orientation joins, and the
+    caller's per-node relabel each re-ran the subtree.
     """
-    und = graph.canonical_undirected_edges()   # src < dst, deduped
+    base = graph.edges.select("src", "dst").persist()
+    base.count()
+    if graph.symmetrized:
+        und = base.filter(F.col("src") < F.col("dst"))
+    else:
+        e0 = base.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        und = e0.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    und = truncate_lineage(und)  # eager — frees base for the joins below
+    if graph._vertices is not None:  # noqa: SLF001
+        verts = graph.vertices
+    else:
+        verts = truncate_lineage(
+            base.select(F.col("src").alias("id"))
+            .union(base.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    base.unpersist()
     deg = (
         und.select(F.col("src").alias("id"))
         .union(und.select(F.col("dst").alias("id")))
@@ -79,7 +105,7 @@ def _oriented_edges(graph: Graph) -> tuple[DataFrame, DataFrame]:
         F.when(fwd, F.col("adeg")).otherwise(F.col("bdeg")).alias("sdeg"),
         F.when(fwd, F.col("bdeg")).otherwise(F.col("adeg")).alias("ddeg"),
     )
-    return oriented, deg
+    return oriented, deg, verts
 
 
 def _wedge_triangles(oe: DataFrame, close_bcast: bool = False) -> DataFrame:
@@ -136,7 +162,7 @@ def triangle_stream(graph: Graph) -> DataFrame:
     The oriented edge set is materialized once (eager lineage cut) so
     the three self-join branches read a cached copy instead of
     recomputing the degree-orientation join per branch."""
-    oriented, _ = _oriented_edges(graph)
+    oriented, _, _ = _oriented_edges(graph)
     return _wedge_triangles(truncate_lineage(oriented))
 
 
@@ -148,7 +174,7 @@ def triangle_count(graph: Graph, with_summary: bool = True) -> TriangleCountResu
     ``per_node`` is fully materialized before the intermediate triangle
     set is released — consuming the result never re-runs the wedge
     join, and counts + coefficients come from ONE computation."""
-    oriented, _ = _oriented_edges(graph)
+    oriented, _, verts = _oriented_edges(graph)
     oe = oriented.persist()
     tri = _wedge_triangles(oe).persist()
     n_triangles = tri.count()
@@ -159,7 +185,7 @@ def triangle_count(graph: Graph, with_summary: bool = True) -> TriangleCountResu
     )
     counts = member.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
     per_node = (
-        graph.vertices.select("id")
+        verts.select("id")
         .join(counts, "id", "left")
         .join(_undirected_degrees(oe), "id", "left")
         .select(
@@ -215,7 +241,7 @@ def transitivity(graph: Graph) -> DataFrame:
     driver-job scalars, no new shuffle shapes.  Returns 0.0 when the
     graph has no wedges.
     """
-    oriented, _ = _oriented_edges(graph)
+    oriented, _, _ = _oriented_edges(graph)
     oe = oriented.persist()
     n_tri = _wedge_triangles(oe).count()
     # sum d*(d-1) as exact long (each term is even) and halve the

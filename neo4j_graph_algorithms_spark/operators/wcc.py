@@ -149,8 +149,8 @@ def _message_edges(
 
     - ``g.symmetrized`` (an ``undirected()`` view or a
       ``load_graph(sym=True)`` store): the both-ways union and the
-      pair dedup are already materialized — only the narrow self-loop
-      filter remains;
+      pair dedup are already part of the plan — the projection is a
+      pass-through;
     - ``g.src_partitioned`` + symmetrized, flat storage: the bucketed
       scan already reports ``HashPartitioning(src)`` — **zero
       exchanges in the whole load phase** (the cross-run answer to the
@@ -160,13 +160,16 @@ def _message_edges(
       already satisfies the dedup's clustered distribution on
       ``(src, dst)``.
     """
+    # Self-loops are kept: (v, v) sends v its own comp — a no-op for
+    # the min gather — and keeping them makes the persisted message
+    # table a COMPLETE vertex source (src side covers every vertex,
+    # including self-loop-only ones), so the state init below never
+    # re-evaluates the user's edge subtree.
     if g.symmetrized:
-        both = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        both = g.edges.select("src", "dst")
     else:
-        both = (
-            g.edges.select("src", "dst")
-            .union(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-            .filter(F.col("src") != F.col("dst"))
+        both = g.edges.select("src", "dst").union(
+            g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     if storage == "adjacency":
         if not g.symmetrized:
@@ -286,8 +289,20 @@ def _run(
             compute_millis=int(1000 * (time.time() - t_compute0)),
         )
 
-    # comp init = own id; all vertices start in the frontier.
-    state = graph.vertices.select("id", F.col("id").alias("comp"))
+    # comp init = own id; all vertices start in the frontier.  Vertex
+    # source: the persisted message table's src side when it covers the
+    # full graph (symmetrized union + self-loops kept ⇒ every vertex
+    # appears as src) — graph.vertices would re-evaluate the user's
+    # edge subtree (arbitrary SQL; at 100 TB the expensive scan, and
+    # already 2 extra scans on the sf0.1 co-purchase bench graph).
+    # With an explicit vertex table, or when `g` is a threshold-
+    # filtered view (vertices must come from the UNfiltered graph so
+    # below-threshold vertices stay as singletons), keep graph.vertices.
+    if graph._vertices is None and g is graph:  # noqa: SLF001
+        vsrc = both.select(F.col("src").alias("id")).distinct()
+    else:
+        vsrc = graph.vertices
+    state = vsrc.select("id", F.col("id").alias("comp"))
     metrics: list[dict] = []
     start_iter = 0
     if checkpointer is not None:
@@ -442,15 +457,30 @@ def wcc_two_phase(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     t_load0 = time.time()
     with aqe_suspended(spark):
+        # ONE evaluation of the user's edge subtree: the canonical
+        # orientation and the final-relabel vertex set both read a
+        # persisted raw projection (the vertex set must be captured
+        # NOW — star contraction consumes the edge set, and self-loop-
+        # only vertices are dropped by the canonical filter).
+        base = g.edges.select("src", "dst").persist()
+        base.count()
         # canonical larger→smaller orientation, self-loops out
         edges = (
-            g.edges.select(
+            base.select(
                 F.greatest("src", "dst").alias("u"),
                 F.least("src", "dst").alias("v"),
             )
             .filter(F.col("u") != F.col("v"))
             .dropDuplicates(["u", "v"])
         )
+        if graph._vertices is None and g is graph:  # noqa: SLF001
+            verts = truncate_lineage(
+                base.select(F.col("src").alias("id"))
+                .union(base.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+        else:
+            verts = graph.vertices.select("id")
         metrics: list[dict] = []
         start_round = 0
         if checkpointer is not None:
@@ -462,6 +492,7 @@ def wcc_two_phase(
         cache = SuperstepCache(spark)
         edges = truncate_lineage(edges.repartition(n_part, "u"))
         cache.track(edges)
+        base.unpersist()  # canonical set checkpointed, verts captured
         load_millis = int(1000 * (time.time() - t_load0))
         t_compute0 = time.time()
 
@@ -535,7 +566,7 @@ def wcc_two_phase(
             F.min("v").alias("star_id")
         )
         components = (
-            graph.vertices.select("id")
+            verts
             .join(stars.hint("SHUFFLE_HASH"), "id", "left")
             .select("id", F.coalesce("star_id", "id").alias("set_id"))
         )
