@@ -485,3 +485,18 @@ class Graph:
     def cache(self) -> "Graph":
         self.edges.cache()
         return self
+
+
+def derived_vertices(graph: "Graph", cached_edges) -> "DataFrame":
+    """Operator-load-phase vertex table: the user-provided table when
+    one exists, else ``src ∪ dst`` of the operator's already-persisted
+    edge projection — never re-evaluates the user's edge subtree (the
+    edge input is arbitrary SQL; ``graph.vertices`` re-runs it when no
+    explicit vertex table was given)."""
+    if graph._vertices is not None:  # noqa: SLF001
+        return graph.vertices
+    return (
+        cached_edges.select(F.col("src").alias("id"))
+        .union(cached_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )

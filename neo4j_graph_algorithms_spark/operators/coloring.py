@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..graph import derived_vertices as _verts
 from ..plans.checkpoint import (
     SuperstepCache,
     SuperstepCheckpointer,
@@ -115,9 +116,11 @@ def k1coloring(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     t_load0 = time.time()
     with aqe_suspended(spark):
+        base = graph.edges.select("src", "dst").persist()
+        base.count()  # ONE evaluation of the user's edge subtree
         both = (
-            graph.edges.select("src", "dst")
-            .union(graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            base
+            .union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"])
             .repartition(n_part, "src")
@@ -125,7 +128,7 @@ def k1coloring(
         )
         both.count()
 
-        state = graph.vertices.select("id", F.lit(None).cast("long").alias("color"))
+        state = _verts(graph, base).select("id", F.lit(None).cast("long").alias("color"))
         metrics: list[dict] = []
         start_iter = 0
         if checkpointer is not None:
@@ -136,6 +139,7 @@ def k1coloring(
                 metrics = checkpointer.metrics()
         cache = SuperstepCache(spark)
         state = truncate_lineage(state.repartition(n_part, "id"))
+        base.unpersist()  # message table persisted, state checkpointed
         cache.track(state)
         load_millis = int(1000 * (time.time() - t_load0))
         t_compute0 = time.time()

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..graph import derived_vertices as _verts
 from ..plans.checkpoint import (
     SuperstepCache,
     SuperstepCheckpointer,
@@ -66,8 +67,10 @@ def topological_levels(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     t_load0 = time.time()
     with aqe_suspended(spark):
+        base = graph.edges.select("src", "dst").persist()
+        base.count()  # ONE evaluation of the user's edge subtree
         edges = (
-            graph.edges.select("src", "dst")
+            base
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"])
             .repartition(n_part, "src")
@@ -75,7 +78,7 @@ def topological_levels(
         )
         edges.count()
 
-        state = graph.vertices.select("id", F.lit(0).cast("long").alias("level"))
+        state = _verts(graph, base).select("id", F.lit(0).cast("long").alias("level"))
         metrics: list[dict] = []
         start_iter = 0
         if checkpointer is not None:
@@ -86,6 +89,7 @@ def topological_levels(
                 metrics = checkpointer.metrics()
         cache = SuperstepCache(spark)
         state = truncate_lineage(state.repartition(n_part, "id"))
+        base.unpersist()  # message table persisted, state checkpointed
         cache.track(state)
         frontier = state.select(F.col("id").alias("src"), "level")
         load_millis = int(1000 * (time.time() - t_load0))

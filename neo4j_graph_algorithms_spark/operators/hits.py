@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..graph import derived_vertices as _verts
 from ..plans.checkpoint import (
     SuperstepCache,
     SuperstepCheckpointer,
@@ -112,7 +113,9 @@ def _run(
             it = last
             metrics = checkpointer.metrics()
     if state is None:
-        state = graph.vertices.select(
+        # vertex set from the persisted src-copy (one user-subtree
+        # evaluation per run; graph.vertices would re-run it)
+        state = _verts(graph, edges_by_src).select(
             F.col("id"), F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
         )
     state = truncate_lineage(state.repartition(n_part, "id"))  # eager

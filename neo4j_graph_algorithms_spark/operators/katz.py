@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..graph import derived_vertices as _verts
 from ..plans.checkpoint import (
     SuperstepCache,
     SuperstepCheckpointer,
@@ -118,7 +119,9 @@ def _run(
             it = last
             metrics = checkpointer.metrics()
     if state is None:
-        state = graph.vertices.select(F.col("id"), F.lit(0.0).alias("score"))
+        # vertex set from the persisted edge table (one user-subtree
+        # evaluation per run; graph.vertices would re-run it)
+        state = _verts(graph, edges).select(F.col("id"), F.lit(0.0).alias("score"))
     state = truncate_lineage(state.repartition(n_part, "id"))
     cache.track(state)
     if it > 0:

@@ -220,8 +220,19 @@ def louvain(
         if weighted and "weight" in graph.edges.columns
         else F.lit(1.0)
     )
+    # ONE evaluation of the user's edge subtree: the vertex set derives
+    # from the same edges DataFrame that _one_level persists (its first
+    # aggregate materializes deg/verts/edges off one cache), instead of
+    # graph.vertices re-running the user's edge SQL.
     edges = graph.edges.select("src", "dst", wexpr.alias("weight"))
-    vertices = graph.vertices.select("id")
+    if graph._vertices is not None:  # noqa: SLF001
+        vertices = graph.vertices.select("id")
+    else:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
 
     metrics: list[dict] = []
     assignment: DataFrame | None = None

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..graph import derived_vertices as _verts
 from ..plans.checkpoint import (
     SuperstepCache,
     SuperstepCheckpointer,
@@ -86,9 +87,11 @@ def maximal_independent_set(
     spark = graph.spark
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     with aqe_suspended(spark):
+        base = graph.edges.select("src", "dst").persist()
+        base.count()  # ONE evaluation of the user's edge subtree
         both = (
-            graph.edges.select("src", "dst")
-            .union(graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            base
+            .union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"])
             .repartition(n_part, "src")
@@ -97,7 +100,7 @@ def maximal_independent_set(
         both.count()
 
         # state: NULL = live (undecided), true/false = decided
-        state = graph.vertices.select(
+        state = _verts(graph, base).select(
             "id", F.lit(None).cast("boolean").alias("in_set")
         )
         metrics: list[dict] = []
@@ -110,6 +113,7 @@ def maximal_independent_set(
                 metrics = checkpointer.metrics()
         cache = SuperstepCache(spark)
         state = truncate_lineage(state.repartition(n_part, "id"))
+        base.unpersist()  # message table persisted, state checkpointed
         cache.track(state)
 
         it = start_iter

@@ -41,21 +41,36 @@ def _popcount(col):
     return F.bit_count(col)
 
 
+def _message_edges(graph: Graph, direction_both: bool = True) -> DataFrame:
+    """Deduped (optionally doubled) BFS message edges — built once and
+    shared across source batches by the centrality drivers, so the
+    user's edge subtree (arbitrary SQL) is evaluated once per RUN, not
+    once per OMEGA-sized batch."""
+    e = graph.edges.select("src", "dst")
+    if direction_both:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return e.dropDuplicates(["src", "dst"])
+
+
 def msbfs_levels(
     graph: Graph,
     sources: list[int],
     direction_both: bool = True,
     max_depth: int | None = None,
+    message_edges: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, source_idx, depth)`` — BFS depth from each source in
     ``sources`` (≤ OMEGA per call) to every reachable vertex.
-    Depth 0 rows (source itself) included."""
+    Depth 0 rows (source itself) included.  ``message_edges``: a
+    caller-persisted table from :func:`_message_edges` (the caller owns
+    its lifetime); omitted → built and released per call."""
     assert len(sources) <= OMEGA, f"at most {OMEGA} sources per batch"
     spark = graph.spark
-    e = graph.edges.select("src", "dst")
-    if direction_both:
-        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.dropDuplicates(["src", "dst"]).persist()
+    owned = message_edges is None
+    if owned:
+        e = _message_edges(graph, direction_both).persist()
+    else:
+        e = message_edges
 
     src_df = spark.createDataFrame(
         [(int(s), 1 << i) for i, s in enumerate(sources)], "id long, bit long"
@@ -106,7 +121,8 @@ def msbfs_levels(
         cache.track(seen)
         frontier = nxt.select("id", "mask")
 
-    e.unpersist()
+    if owned:
+        e.unpersist()
     masked = out_rows[0]
     for r in out_rows[1:]:
         masked = masked.unionByName(r)
@@ -146,16 +162,24 @@ def iter_source_batches(vertices: DataFrame, sample, batch_size: int):
         yield batch
 
 
-def _batched_depth_sums(graph: Graph, source_batches, harmonic: bool):
+def _batched_depth_sums(
+    graph: Graph, source_batches, harmonic: bool,
+    message_edges: DataFrame | None = None,
+):
     """Σ depth (farness) or Σ 1/depth per vertex over all sources.
     Returns ``(acc, n_sources)``; ``source_batches`` is an iterable of
-    id lists (≤ OMEGA each)."""
+    id lists (≤ OMEGA each).  The BFS message table is built/persisted
+    ONCE for all batches (one user-subtree evaluation per run)."""
     spark = graph.spark
+    owned = message_edges is None
+    e = (
+        _message_edges(graph).persist() if owned else message_edges
+    )
     acc = None
     n_sources = 0
     for batch in source_batches:
         n_sources += len(batch)
-        lv = msbfs_levels(graph, batch).filter(F.col("depth") > 0)
+        lv = msbfs_levels(graph, batch, message_edges=e).filter(F.col("depth") > 0)
         contrib = lv.groupBy("id").agg(
             (
                 F.sum(1.0 / F.col("depth")) if harmonic else F.sum(F.col("depth").cast("double"))
@@ -168,6 +192,8 @@ def _batched_depth_sums(graph: Graph, source_batches, harmonic: bool):
             .agg(F.sum("s").alias("s"), F.sum("reached").alias("reached"))
         )
         acc = truncate_lineage(acc)
+    if owned:
+        e.unpersist()  # acc is eagerly checkpointed per batch
     return acc, n_sources
 
 
@@ -175,11 +201,21 @@ def closeness_centrality(graph: Graph, sample: list[int] | None = None) -> Centr
     """``(n-1)/farness`` (``MSClosenessCentrality.java:87-92``); 0 when
     farness is 0.  ``sample`` restricts BFS sources (estimator mode);
     exact mode streams the source set in OMEGA-sized chunks."""
-    vertices = graph.vertices.select("id").persist()
+    e = _message_edges(graph).persist()
+    # vertex table: eager checkpoint (NOT persist-then-unpersist — the
+    # returned centrality DataFrame is lazy and re-reads it on
+    # consumption); src side of the doubled message table covers every
+    # vertex, so this is one user-subtree evaluation total
+    if graph._vertices is None:  # noqa: SLF001
+        vertices = truncate_lineage(e.select(F.col("src").alias("id")).distinct())
+    else:
+        vertices = truncate_lineage(graph.vertices.select("id"))
     n = vertices.count()
     acc, n_sources = _batched_depth_sums(
-        graph, iter_source_batches(vertices, sample, OMEGA), harmonic=False
+        graph, iter_source_batches(vertices, sample, OMEGA), harmonic=False,
+        message_edges=e,
     )
+    e.unpersist()
     cent = vertices.join(acc.hint("SHUFFLE_HASH"), "id", "left").select(
         "id",
         F.when(
@@ -188,24 +224,28 @@ def closeness_centrality(graph: Graph, sample: list[int] | None = None) -> Centr
         .otherwise(0.0)
         .alias("centrality"),
     )
-    vertices.unpersist()
     return CentralityResult(centrality=cent, sources_used=n_sources)
 
 
 def harmonic_centrality(graph: Graph, sample: list[int] | None = None) -> CentralityResult:
     """``Σ 1/dist / (n-1)`` (``MSHarmonicCentrality.java:59,68``)."""
-    vertices = graph.vertices.select("id").persist()
+    e = _message_edges(graph).persist()
+    if graph._vertices is None:  # noqa: SLF001 — same shape as closeness
+        vertices = truncate_lineage(e.select(F.col("src").alias("id")).distinct())
+    else:
+        vertices = truncate_lineage(graph.vertices.select("id"))
     n = vertices.count()
     acc, n_sources = _batched_depth_sums(
-        graph, iter_source_batches(vertices, sample, OMEGA), harmonic=True
+        graph, iter_source_batches(vertices, sample, OMEGA), harmonic=True,
+        message_edges=e,
     )
+    e.unpersist()
     cent = vertices.join(acc.hint("SHUFFLE_HASH"), "id", "left").select(
         "id",
         (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(float(max(n - 1, 1)))).alias(
             "centrality"
         ),
     )
-    vertices.unpersist()
     return CentralityResult(centrality=cent, sources_used=n_sources)
 
 
@@ -218,16 +258,30 @@ def all_shortest_paths_unweighted(
     streams the source set in OMEGA-sized chunks, never collecting all
     vertex ids driver-side)."""
     spark = graph.spark
+    # one message-table build + one vertex derivation for ALL batches
+    e = _message_edges(graph, direction_both).persist()
+    if sources is None and graph._vertices is None:  # noqa: SLF001
+        src_col = (
+            e.select(F.col("src").alias("id")).distinct()
+            if direction_both
+            else e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        verts = truncate_lineage(src_col)
+    else:
+        verts = graph.vertices
     out = None
-    for batch in iter_source_batches(graph.vertices, sources, OMEGA):
+    for batch in iter_source_batches(verts, sources, OMEGA):
         idx = spark.createDataFrame(
             [(j, int(s)) for j, s in enumerate(batch)], "source_idx int, source long"
         )
-        lv = msbfs_levels(graph, batch, direction_both=direction_both).join(
-            F.broadcast(idx), "source_idx"
-        )
+        lv = msbfs_levels(
+            graph, batch, direction_both=direction_both, message_edges=e
+        ).join(F.broadcast(idx), "source_idx")
         part = lv.select(
             "source", F.col("id").alias("target"), F.col("depth").cast("double").alias("distance")
         )
         out = part if out is None else out.unionByName(part)
+    e.unpersist()  # every level is already checkpointed per batch
     return out
