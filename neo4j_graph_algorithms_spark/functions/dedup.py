@@ -111,11 +111,21 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_size: int = 3,
     num_partitions: int | None = None,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """``(id_a, id_b)`` candidate near-duplicate pairs (id_a < id_b):
     docs sharing at least one LSH band.  bands × rows = num_hashes.
     Docs with no shingles (under ``shingle_size`` tokens) are excluded —
-    an empty set has no minhash."""
+    an empty set has no minhash.
+
+    ``max_band_df`` is the hub guard (same contract as
+    ``simhash_near_pairs``): band values shared by more than that many
+    docs are dropped from candidate generation before the self-join —
+    a flood of identical/near-identical texts otherwise makes one
+    bucket quadratic (10^3 identical docs → 10^6 pairs from one band).
+    The documented trade: pairs only reachable through a dropped
+    mega-bucket are missed — exact duplicates, which belong to
+    ``dedup_exact`` upstream, not to LSH."""
     rows = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_size, num_partitions
@@ -144,6 +154,14 @@ def minhash_lsh_candidates(
             )
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    if max_band_df is not None:
+        small = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_band_df)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(small, ["band", "band_hash"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -112,6 +112,104 @@ def _orient_by_degree(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     )
 
 
+def _undirected_degrees(e: DataFrame) -> DataFrame:
+    """(id, degree) over a canonical undirected edge set, checkpointed.
+    groupBy("id") already leaves the result hash-partitioned by id —
+    no extra repartition."""
+    return truncate_lineage(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def _dead_triangle_decs(
+    kept: DataFrame, removed: DataFrame, deg: DataFrame, small_delta: bool
+) -> DataFrame:
+    """Per-surviving-edge decrement counts ``(src, dst, dec)``: the
+    triangles of kept ∪ removed that lost at least one edge to
+    ``removed``, deduplicated, scattered to their canonical member
+    edges.  ``deg`` may be stale after earlier removals — staleness
+    affects which endpoint fans out wedges (cost), never which
+    triangles are found (correctness).  When ``small_delta`` every
+    join runs broadcast-side — three exchange-free linear scans of
+    the edge set; otherwise SHUFFLE_HASH shapes apply."""
+    eprev = kept.select("src", "dst").unionAll(removed)
+    adj = eprev.select(
+        F.col("src").alias("x"), F.col("dst").alias("w")
+    ).unionAll(
+        eprev.select(F.col("dst").alias("x"), F.col("src").alias("w"))
+    )
+    # orient each removed edge from its lower-degree endpoint
+    if small_delta:
+        rd = (
+            deg.select(F.col("id").alias("src"), F.col("degree").alias("sd"))
+            .join(F.broadcast(removed), "src")
+            .join(
+                F.broadcast(
+                    deg.select(
+                        F.col("id").alias("dst"), F.col("degree").alias("dd")
+                    )
+                    .join(
+                        F.broadcast(removed.select("dst").distinct()), "dst"
+                    )
+                ),
+                "dst",
+            )
+        )
+    else:
+        rd = (
+            removed.join(
+                deg.select(F.col("id").alias("src"), F.col("degree").alias("sd"))
+                .hint("SHUFFLE_HASH"),
+                "src",
+            )
+            .join(
+                deg.select(F.col("id").alias("dst"), F.col("degree").alias("dd"))
+                .hint("SHUFFLE_HASH"),
+                "dst",
+            )
+        )
+    lo_first = (F.col("sd") < F.col("dd")) | (
+        (F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    rr = rd.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    )
+    # wedges from lo over the round-entry adjacency, closed against
+    # hi's adjacency; dedupe triangles found through several removed
+    # edges
+    adj_lo = adj.select(F.col("x").alias("lo"), "w")
+    adj_hi = adj.select(F.col("x").alias("hi"), "w")
+    if small_delta:
+        cand = adj_lo.join(F.broadcast(rr), "lo").filter(
+            F.col("w") != F.col("hi")
+        )
+        # inner flip of the semi join: each (hi, w) edge occurs once
+        # per direction in adj, so a closing candidate matches exactly
+        # once
+        closed = adj_hi.join(F.broadcast(cand), ["hi", "w"])
+    else:
+        cand = rr.join(adj_lo.hint("SHUFFLE_HASH"), "lo").filter(
+            F.col("w") != F.col("hi")
+        )
+        closed = cand.join(
+            adj_hi.hint("SHUFFLE_HASH"), ["hi", "w"], "left_semi"
+        )
+    dead = (
+        closed.select(F.array_sort(F.array("lo", "hi", "w")).alias("t"))
+        .select(
+            F.col("t")[0].alias("a"),
+            F.col("t")[1].alias("b"),
+            F.col("t")[2].alias("c"),
+        )
+        .distinct()
+    )
+    return _edge_scatter(dead, "dec")
+
+
 def _edge_scatter(tri: DataFrame, value_name: str) -> DataFrame:
     """Scatter each ``(a < b < c)`` triangle to its three canonical
     member edges and count per edge.
@@ -210,17 +308,7 @@ def k_truss(
         # orients the round-1 wedge join, and steers the removed-edge
         # wedge side in every delta round (degree staleness after
         # removals affects cost, never correctness)
-        def _degrees(e: DataFrame) -> DataFrame:
-            # groupBy("id") already leaves the result hash-partitioned
-            # by id — no extra repartition
-            return truncate_lineage(
-                e.select(F.col("src").alias("id"))
-                .union(e.select(F.col("dst").alias("id")))
-                .groupBy("id")
-                .agg(F.count(F.lit(1)).alias("degree"))
-            )
-
-        deg = _degrees(edges)
+        deg = _undirected_degrees(edges)
         cache.track(edges, deg)
 
         # ---- (k-1)-core prefilter ------------------------------------
@@ -238,7 +326,7 @@ def k_truss(
         else:
             core = k_core(Graph(edges), k - 1, check_interval=2)
             edges = truncate_lineage(core.edges)
-            deg = _degrees(edges)
+            deg = _undirected_degrees(edges)
             cache.track(edges, deg)
             n_core = edges.count()
             metrics.append(
@@ -328,7 +416,7 @@ def k_truss(
                 break
             if n_removed * 4 >= n_kept:
                 # rebuild path — survivors shrank enough to re-enumerate
-                deg = _degrees(kept.select("src", "dst"))
+                deg = _undirected_degrees(kept.select("src", "dst"))
                 cache.track(es, deg)
                 ori = truncate_lineage(
                     _orient_by_degree(kept.select("src", "dst"), deg)
@@ -367,79 +455,7 @@ def k_truss(
             # round is three exchange-free linear scans of the edge
             # set; otherwise the SHUFFLE_HASH shapes below apply.
             small_delta = n_removed <= _DELTA_BROADCAST_ROWS
-            eprev = kept.select("src", "dst").unionAll(removed)
-            adj = eprev.select(
-                F.col("src").alias("x"), F.col("dst").alias("w")
-            ).unionAll(
-                eprev.select(F.col("dst").alias("x"), F.col("src").alias("w"))
-            )
-            # orient each removed edge from its lower-degree endpoint
-            if small_delta:
-                rd = (
-                    deg.select(F.col("id").alias("src"), F.col("degree").alias("sd"))
-                    .join(F.broadcast(removed), "src")
-                    .join(
-                        F.broadcast(
-                            deg.select(
-                                F.col("id").alias("dst"), F.col("degree").alias("dd")
-                            )
-                            .join(
-                                F.broadcast(removed.select("dst").distinct()), "dst"
-                            )
-                        ),
-                        "dst",
-                    )
-                )
-            else:
-                rd = (
-                    removed.join(
-                        deg.select(F.col("id").alias("src"), F.col("degree").alias("sd"))
-                        .hint("SHUFFLE_HASH"),
-                        "src",
-                    )
-                    .join(
-                        deg.select(F.col("id").alias("dst"), F.col("degree").alias("dd"))
-                        .hint("SHUFFLE_HASH"),
-                        "dst",
-                    )
-                )
-            lo_first = (F.col("sd") < F.col("dd")) | (
-                (F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst"))
-            )
-            rr = rd.select(
-                F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
-                F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
-            )
-            # wedges from lo over the round-entry adjacency, closed
-            # against hi's adjacency; dedupe triangles found through
-            # several removed edges
-            adj_lo = adj.select(F.col("x").alias("lo"), "w")
-            adj_hi = adj.select(F.col("x").alias("hi"), "w")
-            if small_delta:
-                cand = adj_lo.join(F.broadcast(rr), "lo").filter(
-                    F.col("w") != F.col("hi")
-                )
-                # inner flip of the semi join: each (hi, w) edge occurs
-                # once per direction in adj, so a closing candidate
-                # matches exactly once
-                closed = adj_hi.join(F.broadcast(cand), ["hi", "w"])
-            else:
-                cand = rr.join(adj_lo.hint("SHUFFLE_HASH"), "lo").filter(
-                    F.col("w") != F.col("hi")
-                )
-                closed = cand.join(
-                    adj_hi.hint("SHUFFLE_HASH"), ["hi", "w"], "left_semi"
-                )
-            dead = (
-                closed.select(F.array_sort(F.array("lo", "hi", "w")).alias("t"))
-                .select(
-                    F.col("t")[0].alias("a"),
-                    F.col("t")[1].alias("b"),
-                    F.col("t")[2].alias("c"),
-                )
-                .distinct()
-            )
-            dec = _edge_scatter(dead, "dec")
+            dec = _dead_triangle_decs(kept, removed, deg, small_delta)
             # removed edges fall out here because the join base is kept
             dec_side = F.broadcast(dec) if small_delta else dec.hint("SHUFFLE_HASH")
             es2 = (
@@ -471,5 +487,263 @@ def k_truss(
         k=k,
         iterations_ran=it,
         edge_count=int(n_kept),
+        metrics=metrics,
+    )
+
+
+@dataclass
+class TrussDecompositionResult:
+    per_edge: DataFrame            # (src long, dst long, truss long), src < dst
+    max_truss: int
+    iterations_ran: int
+    edge_count: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _local_truss(edges) -> list[tuple[int, int, int]]:
+    """Exact in-process truss decomposition over collected canonical
+    ``(src, dst)`` rows (size-gated by the caller).  Bucket-queue peel
+    in increasing support order: the minimum-support edge's truss is
+    ``level + 2`` where ``level`` only ever rises; decrements clamp at
+    the current level (the k-core trick transplanted to edges).
+    Supports are recomputed from scratch — the residual graph handed
+    in by the distributed rounds is itself a truss of the input, and
+    truss numbers of a truss's edges equal their input-graph truss
+    numbers (k-truss(G) = k-truss(j-truss(G)) for j <= k), so no
+    offset is needed.  Returns ``(src, dst, truss)`` rows."""
+    from collections import defaultdict
+
+    adj: dict[int, set[int]] = {}
+    for src, dst in edges:
+        adj.setdefault(src, set()).add(dst)
+        adj.setdefault(dst, set()).add(src)
+    sup: dict[tuple[int, int], int] = {}
+    for src, dst in edges:
+        a, b = (src, dst) if len(adj[src]) <= len(adj[dst]) else (dst, src)
+        sup[(src, dst)] = len(adj[a] & adj[b])
+    buckets: dict[int, set[tuple[int, int]]] = defaultdict(set)
+    for e, s in sup.items():
+        buckets[s].add(e)
+    out: list[tuple[int, int, int]] = []
+    level = 0
+    max_sup = max(sup.values(), default=0)
+    remaining = len(sup)
+    while remaining:
+        while level <= max_sup and not buckets.get(level):
+            level += 1
+        u, v = e = buckets[level].pop()
+        out.append((u, v, level + 2))
+        remaining -= 1
+        adj[u].discard(v)
+        adj[v].discard(u)
+        del sup[e]
+        # adj holds live edges only, so every common neighbor closes a
+        # still-live triangle whose other two edges both decrement
+        for w in adj[u] & adj[v]:
+            for f in (
+                (u, w) if u < w else (w, u),
+                (v, w) if v < w else (w, v),
+            ):
+                s = sup.get(f)
+                if s is not None and s > level:
+                    buckets[s].discard(f)
+                    sup[f] = s - 1
+                    buckets[s - 1].add(f)
+    return out
+
+
+def truss_decomposition(
+    graph: Graph,
+    max_iterations: int = 10_000,
+    local_finish_edges: int = _LOCAL_FINISH_EDGES,
+) -> TrussDecompositionResult:
+    """Per-edge truss numbers — the whole k-truss spectrum in ONE
+    triangle enumeration (``k_truss(k)`` for every k at once, the way
+    ``core_numbers`` generalizes ``k_core``).
+
+    The truss number of an edge is the largest k such that the edge
+    survives in the k-truss; edges in no triangle have truss 2.
+    Level-synchronous peel: at level l remove every edge whose current
+    support is <= l (those edges have truss exactly l + 2 — the
+    residual entering level l is precisely the (l+2)-truss), subtract
+    the triangles that died via the same delta maintenance as
+    ``k_truss`` (cost tracks removals, not the graph), and when no
+    edge is at or below l jump l straight to the minimum surviving
+    support (empty levels are free).  Endgame: once survivors fit one
+    task (``local_finish_edges``), one bounded collect finishes the
+    whole remaining spectrum in-process — truss numbers of a truss's
+    edges equal their input-graph truss numbers, so the local answer
+    is exact, not approximate.
+
+    Returns canonical ``(src, dst, truss)`` rows for EVERY input edge.
+    One pass replaces one ``k_truss`` call per distinct k."""
+    spark = graph.spark
+    with aqe_suspended(spark):
+        cache = SuperstepCache(spark)
+        edges = truncate_lineage(
+            graph.canonical_undirected_edges().select("src", "dst")
+        )
+        cache.track(edges)
+        n_edges = edges.count()
+        metrics: list[dict] = []
+        empty = spark.createDataFrame([], "src long, dst long, truss long")
+        if n_edges == 0:
+            return TrussDecompositionResult(
+                per_edge=empty, max_truss=0, iterations_ran=0,
+                edge_count=0, metrics=metrics,
+            )
+
+        deg = _undirected_degrees(edges)
+        cache.track(edges, deg)
+
+        # ---- round 1: full enumeration seeds the support table -------
+        it = 1
+        t0 = time.time()
+        ori = truncate_lineage(_orient_by_degree(edges, deg))
+        cache.track(edges, deg, ori)
+        sup0 = _edge_scatter(_wedge_triangles(ori), "sup")
+        es = truncate_lineage(
+            edges.join(sup0.hint("SHUFFLE_HASH"), ["src", "dst"], "left")
+            .select(
+                "src", "dst",
+                F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("sup"),
+            ),
+            eager=False,
+        )
+        n_active = n_edges
+        # es is a LAZY checkpoint — do not track it (which would
+        # unpersist its parents) until an action materializes it; the
+        # first loop round's min-sup probe or collect does that
+        metrics.append(
+            {
+                "algorithm": "truss_decomposition",
+                "iteration": it,
+                "edges": int(n_active),
+                "wall_ms": int(1000 * (time.time() - t0)),
+            }
+        )
+
+        assigned = empty
+        level = 0
+        max_truss = 2
+        # ---- level-synchronous peel rounds ---------------------------
+        while n_active > 0 and it < max_iterations:
+            it += 1
+            t0 = time.time()
+            if n_active <= local_finish_edges:
+                rows = _local_truss(
+                    [tuple(r) for r in es.select("src", "dst").collect()]
+                )
+                done = (
+                    spark.createDataFrame(rows, "src long, dst long, truss long")
+                    if rows
+                    else empty
+                )
+                assigned = truncate_lineage(assigned.unionAll(done))
+                if rows:
+                    max_truss = max(max_truss, max(t for _, _, t in rows))
+                metrics.append(
+                    {
+                        "algorithm": "truss_decomposition",
+                        "iteration": it,
+                        "edges": 0,
+                        "removed": int(n_active),
+                        "level": int(level),
+                        "mode": "local_finish",
+                        "wall_ms": int(1000 * (time.time() - t0)),
+                    }
+                )
+                n_active = 0
+                break
+            # the level jumps straight to the minimum surviving support
+            # (empty levels cost one cheap scalar probe, not a round)
+            cur_min = es.agg(F.min("sup")).first()[0]
+            level = max(level, int(cur_min))
+            removed_es = es.filter(F.col("sup") <= level)
+            kept = es.filter(F.col("sup") > level)
+            removed = removed_es.select("src", "dst")
+            # every edge removed while the peel sits at level l has
+            # truss exactly l + 2 — assign it on the way out
+            assigned = truncate_lineage(
+                assigned.unionAll(
+                    removed.select(
+                        "src", "dst", F.lit(level + 2).cast("long").alias("truss")
+                    )
+                )
+            )
+            max_truss = level + 2
+            n_kept = kept.count()
+            n_removed = n_active - n_kept
+            cache.track(es, deg, assigned)
+            if n_kept == 0:
+                metrics.append(
+                    {
+                        "algorithm": "truss_decomposition",
+                        "iteration": it,
+                        "edges": 0,
+                        "removed": int(n_removed),
+                        "level": int(level),
+                        "mode": "drain",
+                        "wall_ms": int(1000 * (time.time() - t0)),
+                    }
+                )
+                n_active = 0
+                break
+            if n_removed * 4 >= n_kept:
+                # rebuild path — survivors shrank enough to re-enumerate
+                deg = _undirected_degrees(kept.select("src", "dst"))
+                cache.track(es, deg, assigned)
+                ori = truncate_lineage(
+                    _orient_by_degree(kept.select("src", "dst"), deg)
+                )
+                cache.track(es, deg, ori, assigned)
+                sup_k = _edge_scatter(_wedge_triangles(ori), "sup")
+                es2 = truncate_lineage(
+                    kept.select("src", "dst")
+                    .join(sup_k.hint("SHUFFLE_HASH"), ["src", "dst"], "left")
+                    .select(
+                        "src", "dst",
+                        F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("sup"),
+                    ),
+                    eager=False,
+                )
+                mode = "rebuild"
+            else:
+                # delta path — subtract only the triangles that died
+                small_delta = n_removed <= _DELTA_BROADCAST_ROWS
+                dec = _dead_triangle_decs(kept, removed, deg, small_delta)
+                dec_side = (
+                    F.broadcast(dec) if small_delta else dec.hint("SHUFFLE_HASH")
+                )
+                es2 = truncate_lineage(
+                    kept.join(dec_side, ["src", "dst"], "left")
+                    .select(
+                        "src", "dst",
+                        (F.col("sup") - F.coalesce(F.col("dec"), F.lit(0)))
+                        .alias("sup"),
+                    ),
+                    eager=False,
+                )
+                mode = "delta"
+            n_active2 = es2.count()
+            assert n_active2 == n_kept
+            cache.track(es2, deg, assigned)
+            metrics.append(
+                {
+                    "algorithm": "truss_decomposition",
+                    "iteration": it,
+                    "edges": int(n_kept),
+                    "removed": int(n_removed),
+                    "level": int(level),
+                    "mode": mode,
+                    "wall_ms": int(1000 * (time.time() - t0)),
+                }
+            )
+            es, n_active = es2, n_active2
+    return TrussDecompositionResult(
+        per_edge=assigned.select("src", "dst", "truss"),
+        max_truss=int(max_truss),
+        iterations_ran=it,
+        edge_count=int(n_edges),
         metrics=metrics,
     )

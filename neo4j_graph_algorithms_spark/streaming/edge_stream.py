@@ -16,7 +16,9 @@ these operators keep the engine's inputs fresh without re-scanning:
   content hash: the first-seen doc per hash survives, later arrivals
   are emitted flagged ``is_duplicate`` with the surviving id.  State
   per key is one (keep_id, count) pair, so state size is O(distinct
-  hashes), not O(stream).
+  hashes), not O(stream) — and with ``state_ttl_ms`` set, idle hashes
+  are evicted on a processing-time timeout, bounding state to the
+  hashes active within one TTL window.
 
 All take a streaming DataFrame (``spark.readStream``) and return the
 transformed streaming DataFrame; callers own the sink/trigger so tests
@@ -54,45 +56,78 @@ DEDUP_OUT_SCHEMA = (
 DEDUP_STATE_SCHEMA = "keep_id long, seen long"
 
 
-def _dedup_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        keep_id, seen = state.get
-    else:
-        keep_id, seen = None, 0
-    # Buffer the whole group before choosing keep_id: a group spanning
-    # multiple Arrow chunks within one micro-batch must still pick the
-    # batch-global minimum doc_id, not the first chunk's minimum.
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if chunks:
-        ids = pd.concat(chunks)["doc_id"].sort_values()
-        out = []
-        for doc_id in ids:
-            if keep_id is None:
-                keep_id = int(doc_id)
-            seen += 1
-            out.append(
-                (key[0], int(doc_id), keep_id, int(doc_id) != keep_id, seen - 1)
+def _make_dedup_fn(ttl_ms: int | None):
+    """Build the stateful dedup function; with a TTL the state arms a
+    processing-time timeout on every update and is REMOVED when it
+    fires — a hash idle longer than the TTL is forgotten and its next
+    arrival becomes first-seen again (the bounded-state contract)."""
+
+    def _dedup_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # timeout invocation: no rows for this key this batch —
+            # evict and emit nothing
+            state.remove()
+            return
+        if state.exists:
+            keep_id, seen = state.get
+        else:
+            keep_id, seen = None, 0
+        # Buffer the whole group before choosing keep_id: a group spanning
+        # multiple Arrow chunks within one micro-batch must still pick the
+        # batch-global minimum doc_id, not the first chunk's minimum.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            ids = pd.concat(chunks)["doc_id"].sort_values()
+            out = []
+            for doc_id in ids:
+                if keep_id is None:
+                    keep_id = int(doc_id)
+                seen += 1
+                out.append(
+                    (key[0], int(doc_id), keep_id, int(doc_id) != keep_id, seen - 1)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["text_hash", "doc_id", "keep_id", "is_duplicate", "dup_index"],
             )
-        yield pd.DataFrame(
-            out, columns=["text_hash", "doc_id", "keep_id", "is_duplicate", "dup_index"]
-        )
-    state.update((keep_id, seen))
+        state.update((keep_id, seen))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _dedup_fn
 
 
-def streaming_dedup_first_seen(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def streaming_dedup_first_seen(
+    docs: DataFrame, text_col: str = "text", state_ttl_ms: int | None = None
+) -> DataFrame:
     """Stateful exact dedup over a document stream: rows grouped by
     ``md5(text)``; per group the state remembers the first-seen doc_id
     (within a batch, the smallest doc_id — deterministic) and how many
-    rows the hash has produced so far."""
+    rows the hash has produced so far.
+
+    State contract: without ``state_ttl_ms`` the state is O(distinct
+    hashes) FOREVER — exact dedup against the whole history, the right
+    default for bounded corpora but unbounded on an infinite stream
+    (the mergeable-CMS twin ``streaming_cms_term_counts`` is the
+    strictly-bounded alternative).  With ``state_ttl_ms`` set, each
+    hash's state is evicted after that much processing-time idleness
+    (``GroupStateTimeout.ProcessingTimeTimeout``): state size becomes
+    O(hashes seen within one TTL window) and a duplicate arriving
+    after the window is re-reported as first-seen — the standard
+    windowed-dedup trade at 100 TB/day ingest rates."""
     keyed = docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col("doc_id"))
     return keyed.groupBy("text_hash").applyInPandasWithState(
-        _dedup_fn,
+        _make_dedup_fn(state_ttl_ms),
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

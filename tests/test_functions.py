@@ -70,6 +70,26 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (3, 4) not in pairs and (0, 5) not in pairs
 
 
+def test_minhash_lsh_max_band_df_guard(spark):
+    # 30 identical docs form one mega-bucket in every band; the guard
+    # drops buckets over the cap, so the identical flood produces NO
+    # candidate pairs while a distinct near-dup pair elsewhere survives
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(30)]
+    rows += [
+        (100, "entirely different text about graph algorithms on spark clusters today"),
+        (101, "entirely different text about graph algorithms on spark engines today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs, max_band_df=10).collect()
+    }
+    assert all(a >= 100 for a, _ in guarded)  # flood suppressed
+    assert (100, 101) in guarded              # real near-dup kept
+    unguarded = dedup.minhash_lsh_candidates(docs).count()
+    assert unguarded >= 30 * 29 / 2           # without the guard: quadratic
+
+
 def test_ngram_jaccard(spark, docs):
     out = {
         (r["id_a"], r["id_b"]): r["jaccard"]

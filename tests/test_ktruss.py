@@ -4,7 +4,7 @@ import networkx as nx
 import pytest
 
 from neo4j_graph_algorithms_spark import Graph
-from neo4j_graph_algorithms_spark.operators import k_truss
+from neo4j_graph_algorithms_spark.operators import k_truss, truss_decomposition
 
 
 def _edge_set(res):
@@ -79,3 +79,64 @@ def test_ktruss_rejects_bad_k(spark):
     g = Graph.from_edge_list(spark, [(0, 1)], vertices=range(2))
     with pytest.raises(ValueError):
         k_truss(g, 1)
+
+
+def _nx_truss_numbers(gnx):
+    """Per-edge truss numbers via repeated nx.k_truss (the brute twin)."""
+    truss = {tuple(sorted(e)): 2 for e in gnx.edges()}
+    k = 3
+    sub = nx.k_truss(gnx, k)
+    while sub.number_of_edges():
+        for e in sub.edges():
+            truss[tuple(sorted(e))] = k
+        k += 1
+        sub = nx.k_truss(gnx, k)
+    return truss
+
+
+def _decomp_map(res):
+    return {
+        tuple(sorted((r["src"], r["dst"]))): r["truss"]
+        for r in res.per_edge.collect()
+    }
+
+
+def test_truss_decomposition_matches_networkx_local(spark):
+    # default gate: the whole spectrum finishes in the in-process peel
+    gnx = nx.gnm_random_graph(80, 400, seed=11)
+    g = Graph.from_edge_list(spark, list(gnx.edges()), vertices=range(80))
+    res = truss_decomposition(g)
+    assert _decomp_map(res) == _nx_truss_numbers(gnx)
+    assert res.edge_count == gnx.number_of_edges()
+    assert res.max_truss == max(_nx_truss_numbers(gnx).values())
+    assert any(m.get("mode") == "local_finish" for m in res.metrics)
+
+
+def test_truss_decomposition_matches_networkx_distributed(spark):
+    # local_finish_edges=0 keeps every level round distributed —
+    # exercises the jump-to-min-support, rebuild and delta paths
+    gnx = nx.gnm_random_graph(60, 260, seed=5)
+    g = Graph.from_edge_list(spark, list(gnx.edges()), vertices=range(60))
+    res = truss_decomposition(g, local_finish_edges=0)
+    assert _decomp_map(res) == _nx_truss_numbers(gnx)
+    modes = {m.get("mode") for m in res.metrics}
+    assert "local_finish" not in modes
+
+
+def test_truss_decomposition_agrees_with_single_k(spark):
+    # the spectrum IS every k_truss at once: filtering truss >= k must
+    # reproduce the single-k operator's edge set
+    gnx = nx.gnm_random_graph(70, 320, seed=9)
+    g = Graph.from_edge_list(spark, list(gnx.edges()), vertices=range(70))
+    dm = _decomp_map(truss_decomposition(g))
+    for k in (3, 4, 5):
+        assert {e for e, t in dm.items() if t >= k} == _edge_set(k_truss(g, k))
+
+
+def test_truss_decomposition_triangle_free(spark):
+    # no triangles: every edge has truss 2
+    path = [(i, i + 1) for i in range(10)]
+    g = Graph.from_edge_list(spark, path, vertices=range(11))
+    res = truss_decomposition(g)
+    assert set(_decomp_map(res).values()) == {2}
+    assert res.max_truss == 2

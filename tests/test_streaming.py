@@ -112,6 +112,61 @@ def test_streaming_dedup_first_seen_stateful(spark, tmp_path):
     assert rows[5] == (5, False, 0)
 
 
+def test_streaming_dedup_state_ttl_evicts_idle_hashes(spark, tmp_path):
+    # state_ttl_ms=1: any hash idle for a full micro-batch gap is
+    # evicted, so (a) a post-TTL duplicate is re-reported first-seen
+    # and (b) the state store stays bounded by the active window.
+    # A timeout-configured stream otherwise runs NO-DATA micro-batches
+    # continuously to advance timers (making processAllAvailable spin
+    # forever); disabling them pins evictions to data batches, which
+    # is all this test needs to observe.
+    import time
+
+    from neo4j_graph_algorithms_spark.streaming import streaming_dedup_first_seen
+
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        d = tmp_path / "docs_ttl"
+        d.mkdir()
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+        q = (
+            streaming_dedup_first_seen(stream, state_ttl_ms=1)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_ttl_stream")
+            .start()
+        )
+        b1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+        b1.coalesce(1).write.mode("append").parquet(str(d))
+        q.processAllAvailable()
+        time.sleep(0.05)  # > TTL of processing-time idleness
+        # this batch carries no "alpha"/"beta" rows, so their expired
+        # state gets the timeout invocation and is removed
+        b2 = spark.createDataFrame([(3, "gamma")], "doc_id long, text string")
+        b2.coalesce(1).write.mode("append").parquet(str(d))
+        q.processAllAvailable()
+        time.sleep(0.05)
+        b3 = spark.createDataFrame([(4, "alpha")], "doc_id long, text string")
+        b3.coalesce(1).write.mode("append").parquet(str(d))
+        q.processAllAvailable()
+        prog = q.lastProgress
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    rows = {
+        r["doc_id"]: (r["keep_id"], r["is_duplicate"], r["dup_index"])
+        for r in spark.sql("SELECT * FROM dedup_ttl_stream").collect()
+    }
+    assert rows[1] == (1, False, 0)
+    # post-TTL "alpha" is first-seen AGAIN: evicted state, fresh counter
+    assert rows[4] == (4, False, 0)
+    # the store holds at most the hashes of the last TTL window, not
+    # every hash ever seen
+    assert prog["stateOperators"][0]["numRowsTotal"] <= 2
+
+
 def test_streaming_near_dedup_minhash(spark, tmp_path):
     from neo4j_graph_algorithms_spark.streaming import streaming_near_dedup_minhash
     from neo4j_graph_algorithms_spark.functions import dedup as dd
