@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "anf_cop",            # FM-sketch neighborhood function (bit_or supersteps)
     "wcc_twophase_cop",   # star-contraction CC (O(log n) rounds)
     "k_truss_cop",        # triangle-support peeling
+    "k_truss_multi_cop",  # 3 k-trusses in one shared peel (≤1.3x single-k)
     "fastrp_cop",         # random-projection embeddings (zero global aggs)
     "dedup_exact_docs",
     "repeated_spans_docs",  # exact-substring dedup spans

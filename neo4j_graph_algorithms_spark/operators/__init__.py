@@ -6,7 +6,7 @@ from .coloring import k1coloring
 from .dag import topological_levels
 from .katz import katz_centrality
 from .mis import maximal_independent_set
-from .ktruss import k_truss, truss_decomposition
+from .ktruss import k_truss, k_truss_multi, truss_decomposition
 from .fastrp import fastrp
 from .labelprop import label_propagation
 from .triangles import (
@@ -47,6 +47,7 @@ __all__ = [
     "wcc",
     "wcc_two_phase",
     "k_truss",
+    "k_truss_multi",
     "truss_decomposition",
     "fastrp",
     "label_propagation",

@@ -4,7 +4,7 @@ import networkx as nx
 import pytest
 
 from neo4j_graph_algorithms_spark import Graph
-from neo4j_graph_algorithms_spark.operators import k_truss, truss_decomposition
+from neo4j_graph_algorithms_spark.operators import k_truss, k_truss_multi, truss_decomposition
 
 
 def _edge_set(res):
@@ -140,3 +140,16 @@ def test_truss_decomposition_triangle_free(spark):
     res = truss_decomposition(g)
     assert set(_decomp_map(res).values()) == {2}
     assert res.max_truss == 2
+
+
+def test_k_truss_multi_matches_separate_runs(spark):
+    gnx = nx.gnm_random_graph(80, 400, seed=13)
+    g = Graph.from_edge_list(spark, list(gnx.edges()), vertices=range(80))
+    multi = k_truss_multi(g, [5, 4, 3])  # unsorted input: sorted internally
+    for k in (3, 4, 5):
+        assert _edge_set(multi[k]) == {
+            tuple(sorted(e)) for e in nx.k_truss(gnx, k).edges()
+        }
+    # an empty truss short-circuits the chain and stays empty
+    big = k_truss_multi(g, [3, 50])
+    assert big[50].edge_count == 0 and big[50].edges.count() == 0
