@@ -500,17 +500,28 @@ class TrussDecompositionResult:
     metrics: list[dict] = field(default_factory=list)
 
 
-def _local_truss(edges) -> list[tuple[int, int, int]]:
+def _local_truss(edges, min_level: int = 0) -> list[tuple[int, int, int]]:
     """Exact in-process truss decomposition over collected canonical
     ``(src, dst)`` rows (size-gated by the caller).  Bucket-queue peel
     in increasing support order: the minimum-support edge's truss is
     ``level + 2`` where ``level`` only ever rises; decrements clamp at
     the current level (the k-core trick transplanted to edges).
-    Supports are recomputed from scratch — the residual graph handed
-    in by the distributed rounds is itself a truss of the input, and
-    truss numbers of a truss's edges equal their input-graph truss
-    numbers (k-truss(G) = k-truss(j-truss(G)) for j <= k), so no
-    offset is needed.  Returns ``(src, dst, truss)`` rows."""
+    Supports are recomputed from scratch in the residual — they equal
+    the delta-maintained supports (both count triangles among the
+    surviving edges).
+
+    ``min_level``: the distributed peel's current level.  The residual
+    handed in MID-CASCADE is *not* a truss of the input — an edge
+    whose support already dropped to s < min_level still has truss
+    ``min_level + 2`` (any removal while the peel sits at level l is
+    truss l+2; the level never decreases), so the local peel must
+    start at ``min_level``, not 0: sub-level edges are seeded into the
+    ``min_level`` bucket (peel order within a level is confluent).
+    Callers handing in a *completed* truss (fixpoint reached, e.g.
+    ``k_truss_multi``) keep the default 0 — a truss's edges' truss
+    numbers equal their input-graph truss numbers
+    (k-truss(G) = k-truss(j-truss(G)) for j <= k).
+    Returns ``(src, dst, truss)`` rows."""
     from collections import defaultdict
 
     adj: dict[int, set[int]] = {}
@@ -523,10 +534,10 @@ def _local_truss(edges) -> list[tuple[int, int, int]]:
         sup[(src, dst)] = len(adj[a] & adj[b])
     buckets: dict[int, set[tuple[int, int]]] = defaultdict(set)
     for e, s in sup.items():
-        buckets[s].add(e)
+        buckets[max(s, min_level)].add(e)
     out: list[tuple[int, int, int]] = []
-    level = 0
-    max_sup = max(sup.values(), default=0)
+    level = min_level
+    max_sup = max(max(sup.values(), default=0), min_level)
     remaining = len(sup)
     while remaining:
         while level <= max_sup and not buckets.get(level):
@@ -631,8 +642,13 @@ def truss_decomposition(
             it += 1
             t0 = time.time()
             if n_active <= local_finish_edges:
+                # min_level=level: the residual may be mid-cascade (a
+                # prior round's delta dropped some survivors to support
+                # <= level) — those edges have truss level+2, not what
+                # a from-scratch level-0 peel would assign
                 rows = _local_truss(
-                    [tuple(r) for r in es.select("src", "dst").collect()]
+                    [tuple(r) for r in es.select("src", "dst").collect()],
+                    min_level=level,
                 )
                 done = (
                     spark.createDataFrame(rows, "src long, dst long, truss long")
@@ -740,10 +756,6 @@ def truss_decomposition(
                 }
             )
             es, n_active = es2, n_active2
-            import os as _os
-            if _os.environ.get("SPARK_GRAFT_DEBUG_ROUNDS"):
-                import sys as _sys
-                print(f"[truss] {metrics[-1]}", file=_sys.stderr, flush=True)
     return TrussDecompositionResult(
         per_edge=assigned.select("src", "dst", "truss"),
         max_truss=int(max_truss),

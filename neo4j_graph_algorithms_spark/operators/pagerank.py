@@ -632,15 +632,9 @@ def _run(
                 F.lit(alpha).alias("rank"),
                 F.lit(alpha).alias("delta"),
             )
-        if deg_in_state:
-            out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(
-                F.count(F.lit(1)).alias("outdeg")
-            )
-            state = state.join(out_deg, "id", "left").select(
-                "id", "rank", "delta", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
-            )
-    elif deg_in_state and "outdeg" not in state.columns:
-        # resumed from a pre-outdeg checkpoint: rebuild the column
+    if deg_in_state and "outdeg" not in state.columns:
+        # fresh init, or resumed from a pre-outdeg checkpoint: attach
+        # the out-degree column (same expression either way)
         out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("outdeg")
         )

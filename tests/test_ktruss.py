@@ -133,6 +133,34 @@ def test_truss_decomposition_agrees_with_single_k(spark):
         assert {e for e, t in dm.items() if t >= k} == _edge_set(k_truss(g, k))
 
 
+def test_truss_decomposition_local_finish_mid_cascade(spark):
+    # Regression: the local-finish endgame can fire on a MID-CASCADE
+    # residual (a prior round's removals dropped a survivor's support
+    # below the current level) — that residual is NOT a truss of the
+    # input, so the in-process peel must start at the distributed
+    # level, not 0.  Construction: K5 (separate component, truss 5)
+    # plus edge (10,11) whose only two triangles run through wing
+    # vertices 12/13 via support-1 edges.  Round 1 at level 1 removes
+    # the 4 wing edges (truss 3) and drops (10,11)'s support to 0;
+    # the 11 survivors then fit local_finish_edges=12.  (10,11) was
+    # still removed at level 1 -> truss 3; an unseeded local peel
+    # would assign 2.
+    import itertools
+
+    k5 = list(itertools.combinations(range(5), 2))
+    wings = [(10, 12), (11, 12), (10, 13), (11, 13)]
+    edges = k5 + wings + [(10, 11)]
+    gnx = nx.Graph(edges)
+    expected = _nx_truss_numbers(gnx)
+    assert expected[(10, 11)] == 3  # ground truth of the construction
+    g = Graph.from_edge_list(spark, edges, vertices=sorted(gnx.nodes()))
+    res = truss_decomposition(g, local_finish_edges=12)
+    assert any(m.get("mode") == "local_finish" for m in res.metrics)
+    assert _decomp_map(res) == expected
+    # and the distributed continuation agrees
+    assert _decomp_map(truss_decomposition(g, local_finish_edges=0)) == expected
+
+
 def test_truss_decomposition_triangle_free(spark):
     # no triangles: every edge has truss 2
     path = [(i, i + 1) for i in range(10)]

@@ -160,7 +160,22 @@ def main() -> None:
     report["t_cluster_s"] = round(time.time() - t0, 1)
 
     # ---- recall sanity on the planted pairs -------------------------
-    planted = n_docs // MUT_MOD
+    # Verifiable planted pairs only: a doc with id % 5 == 1 is a true
+    # near-dup of id-1 UNLESS the hot-text override replaced either
+    # side (id % 997 == 0 → the doc itself is hot text, not a
+    # mutation; (id-1) % 997 == 0 → the base shows hot text while the
+    # mutated doc keeps the word recipe, Jaccard ≈ 0).  Counting those
+    # in the denominator would cap recall below 1.0 structurally and
+    # mask a real regression of the same size.
+    planted = (
+        spark.range(n_docs)
+        .filter(
+            (F.col("id") % MUT_MOD == 1)
+            & (F.col("id") % HOT_MOD != 0)
+            & ((F.col("id") - 1) % HOT_MOD != 0)
+        )
+        .count()
+    )
     found_planted = verified.filter(
         (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_b") % MUT_MOD == 1)
     ).count()
