@@ -48,7 +48,11 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     keep = exact_duplicates(df, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    return df.join(keep, id_col, "left_semi")
+    # MERGE: the keep-list is ~|distinct texts| — nearly the whole
+    # corpus at scale.  The planner's post-agg size estimate can
+    # wrongly pick a driver broadcast of it, and a shuffled-hash build
+    # of a corpus-sized side can exceed task memory; sort-merge spills.
+    return df.join(keep.hint("MERGE"), id_col, "left_semi")
 
 
 def minhash_signatures(
@@ -155,13 +159,20 @@ def minhash_lsh_candidates(
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
     if max_band_df is not None:
+        # MERGE: the keep-list is the UNDER-guard buckets — at corpus
+        # scale that is nearly every bucket (~|docs|·bands rows): too
+        # big for the auto-broadcast the planner's post-filter estimate
+        # may pick, and big enough that a shuffled-hash build can
+        # exceed task memory; sort-merge spills instead of OOMing
         small = (
             banded.groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_band_df)
             .select("band", "band_hash")
         )
-        banded = banded.join(small, ["band", "band_hash"], "left_semi")
+        banded = banded.join(
+            small.hint("MERGE"), ["band", "band_hash"], "left_semi"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -202,7 +213,10 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_shingle_df)
             .select("s")
         )
-        cand_sh = sh.join(rare, "s", "left_semi")
+        # MERGE: the rare-shingle keep-list is ~|distinct shingles|
+        # (most shingles are rare) — far too big to broadcast, and big
+        # enough that a shuffled-hash build can exceed task memory
+        cand_sh = sh.join(rare.hint("MERGE"), "s", "left_semi")
     pairs = (
         cand_sh.alias("a")
         .join(cand_sh.alias("b"), "s")
@@ -210,19 +224,37 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # MERGE on both unbounded sides: |pairs| grows with the corpus
+    # and the b-side is the FULL corpus shingle table.  The planner's
+    # size estimate for either can be arbitrarily wrong after
+    # checkpoints/aggregates — a mispicked broadcast OOMs the driver
+    # (observed: it broadcast all ~38M shingle rows at a 1M-doc run),
+    # and a shuffled-hash build of a corpus-sized side exceeds task
+    # memory; sort-merge sorts-and-spills, the only shape that
+    # degrades gracefully at 100 TB
     inter = (
         sh.alias("a")
-        .join(pairs, F.col("a.id") == F.col("id_a"))
+        .join(pairs.hint("MERGE"), F.col("a.id") == F.col("id_a"))
         .join(
-            sh.alias("b"),
+            sh.alias("b").hint("MERGE"),
             (F.col("b.id") == F.col("id_b")) & (F.col("a.s") == F.col("b.s")),
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # MERGE: sizes is one row per document — corpus-sized, not
+    # broadcastable, and safest as a spilling sort-merge build
     out = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+            .hint("MERGE"),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+            .hint("MERGE"),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
@@ -408,7 +440,9 @@ def _probe_grams(
         )
     else:
         pg = pg.select("s").dropDuplicates(["s"])
-    return F.broadcast(pg) if broadcast_probes else pg
+    # the opt-out path is for probe sets too large to broadcast — pin
+    # a spilling sort-merge so the planner cannot re-pick a broadcast
+    return F.broadcast(pg) if broadcast_probes else pg.hint("MERGE")
 
 
 def contamination_report(

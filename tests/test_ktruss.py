@@ -161,6 +161,21 @@ def test_truss_decomposition_local_finish_mid_cascade(spark):
     assert _decomp_map(truss_decomposition(g, local_finish_edges=0)) == expected
 
 
+def test_truss_decomposition_gate_sweep(spark):
+    # The local-finish gate can fire at ANY point of the peel depending
+    # on local_finish_edges; every cutover must land on the same
+    # networkx ground truth.  Sweeps the gate across the peel depth on
+    # two random graphs (the mid-cascade regression above pins the
+    # known-bad construction; this pins the class).
+    for seed in (13, 21):
+        gnx = nx.gnm_random_graph(60, 320, seed=seed)
+        expected = _nx_truss_numbers(gnx)
+        g = Graph.from_edge_list(spark, list(gnx.edges()), vertices=range(60))
+        for gate in (100, 200, 300):
+            res = truss_decomposition(g, local_finish_edges=gate)
+            assert _decomp_map(res) == expected, (seed, gate)
+
+
 def test_truss_decomposition_triangle_free(spark):
     # no triangles: every edge has truss 2
     path = [(i, i + 1) for i in range(10)]

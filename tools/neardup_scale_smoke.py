@@ -128,19 +128,35 @@ def main() -> None:
     sh = shingle_rows(docs, "text", "doc_id", 3).dropDuplicates(["id", "s"])
     sh = truncate_lineage(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
+    # MERGE on both unbounded sides: the candidate table grows with
+    # the corpus and must never be broadcast
     inter = (
         sh.alias("a")
-        .join(cands, F.col("a.id") == F.col("id_a"))
+        .join(cands.hint("MERGE"), F.col("a.id") == F.col("id_a"))
         .join(
-            sh.alias("b"),
+            # the b-side is the FULL shingle table — unpinned, the
+            # planner broadcast all ~38M rows (driver OOM); a
+            # shuffled-hash build also exceeded task memory — MERGE
+            # sorts and spills
+            sh.alias("b").hint("MERGE"),
             (F.col("b.id") == F.col("id_b")) & (F.col("a.s") == F.col("b.s")),
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # MERGE: sizes is one row per doc (1M+) — corpus-sized; a spilling
+    # sort-merge build, never a broadcast
     verified = truncate_lineage(
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb")), "id_b")
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"))
+            .hint("MERGE"),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"))
+            .hint("MERGE"),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
