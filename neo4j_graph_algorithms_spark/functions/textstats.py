@@ -172,6 +172,7 @@ def tfidf(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_df: int = 1,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """``(doc_id, term, tf, df, tfidf)`` — classic TF-IDF weights,
     ``tfidf = tf · ln(N / df)`` with N the corpus document count and
@@ -184,6 +185,12 @@ def tfidf(
     aggregate and the final join both read it from (spillable
     serialized) cache instead of re-tokenizing the corpus.  No Python
     UDFs, no window functions, no global sort.
+
+    ``broadcast_vocab``: the docfreq join side is vocabulary-sized —
+    broadcast by default (vocab ≪ corpus).  Pass False for unbounded
+    vocabularies (web-scale raw text, n-gram terms) to pin a spilling
+    sort-merge instead; same contract as ``_probe_grams``'s
+    ``broadcast_probes``.
     """
     from ..plans.checkpoint import truncate_lineage
 
@@ -195,8 +202,9 @@ def tfidf(
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         docfreq = docfreq.filter(F.col("df") >= min_df)
+    dfreq = F.broadcast(docfreq) if broadcast_vocab else docfreq.hint("MERGE")
     return (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.join(dfreq, "term")
         .select(
             "doc_id",
             "term",
@@ -278,6 +286,7 @@ def pmi_bigrams(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 5,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """``(w1, w2, pair_count, pmi)`` — pointwise mutual information of
     adjacent token bigrams across the corpus (collocation / phrase
@@ -291,8 +300,11 @@ def pmi_bigrams(
     carry vocab- and vocab²-sized data, and both results are
     lineage-cut — the totals reads and the final join reuse them
     instead of re-tokenizing the corpus (two tokenizing scans total).
-    The unigram join sides are vocabulary-sized → broadcast; hub
-    tokens are collapsed before any shuffle by the partial aggregate.
+    The unigram join sides are vocabulary-sized → broadcast by
+    default; hub tokens are collapsed before any shuffle by the
+    partial aggregate.  ``broadcast_vocab=False`` pins a spilling
+    sort-merge for unbounded vocabularies (same contract as
+    ``tfidf``).
     """
     from ..plans.checkpoint import truncate_lineage
 
@@ -316,10 +328,16 @@ def pmi_bigrams(
             * (F.col("c2").cast("double") / F.lit(float(n_uni)))
         )
     )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    if broadcast_vocab:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
+    else:
+        u1, u2 = u1.hint("MERGE"), u2.hint("MERGE")
     return (
         big.filter(F.col("pair_count") >= min_count)
-        .join(F.broadcast(uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))), "w1")
-        .join(F.broadcast(uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .select("w1", "w2", "pair_count", F.round(pmi, 6).alias("pmi"))
     )
 

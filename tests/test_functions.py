@@ -208,6 +208,20 @@ def test_bm25_matches_hand_computation(spark, docs):
     assert got[3] > got[0]
 
 
+def test_vocab_join_modes_identical(spark, docs):
+    # broadcast_vocab=False pins a spilling sort-merge for unbounded
+    # vocabularies — values must be identical to the broadcast default
+    base = {tuple(r) for r in textstats.tfidf(docs).collect()}
+    merged = {tuple(r) for r in textstats.tfidf(docs, broadcast_vocab=False).collect()}
+    assert base == merged
+    pb = {tuple(r) for r in textstats.pmi_bigrams(docs, min_count=1).collect()}
+    pm = {
+        tuple(r)
+        for r in textstats.pmi_bigrams(docs, min_count=1, broadcast_vocab=False).collect()
+    }
+    assert pb == pm
+
+
 def test_pmi_bigrams_collocation_ranking(spark, docs):
     out = {(r["w1"], r["w2"]): r for r in
            textstats.pmi_bigrams(docs, min_count=2).collect()}
