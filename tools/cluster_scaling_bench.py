@@ -17,7 +17,15 @@ separate driver process, best-of per level (same noise-climate
 rationale as tools/scaling_bench.py).
 
 Usage: python tools/cluster_scaling_bench.py [--edges-path P]
-         [--repeat 2] [--out BENCH/CLUSTER.md]
+         [--repeat 2] [--out BENCH/CLUSTER.md] [--executor-cores 8]
+         [--check-interval 4] [--json-only]
+
+``--executor-cores k``: worker JVMs advertise k cores and the app pins
+``spark.executor.cores=k`` — N = one k-core executor, 4N = four.  The
+north-rule criterion run uses k=2 (executors added WITH work to absorb
+them, driver floor amortized by the 80M-edge input).  ``--json-only``
+prints the result without rewriting --out (history sections in
+BENCH/CLUSTER.md are appended by hand from the JSON).
 """
 
 from __future__ import annotations
@@ -67,7 +75,7 @@ spark = get_spark(app_name=f"cluster-leg-{cores_max}",
                   shuffle_partitions=cores_max,
                   extra_conf={
                       "spark.executor.memory": "10g",
-                      "spark.executor.cores": "8",
+                      "spark.executor.cores": os.environ["EXEC_CORES"],
                       "spark.cores.max": str(cores_max),
                   })
 edges = spark.read.parquet(os.environ["EDGES_PATH"]).persist()
@@ -75,7 +83,8 @@ n_edges = edges.count()
 g = Graph.from_edges(edges)
 pagerank(g, max_iterations=8).scores.count()  # warmup (JIT per executor)
 t0 = time.time()
-res = pagerank(g, max_iterations=200, tolerance=1e-6, tolerance_check_interval=4)
+res = pagerank(g, max_iterations=200, tolerance=1e-6,
+               tolerance_check_interval=int(os.environ["CHECK_INTERVAL"]))
 res.scores.count()
 dt = time.time() - t0
 print(json.dumps({
@@ -87,12 +96,15 @@ spark.stop()
 """
 
 
-def _run_leg(cores_max: int, edges_path: str) -> dict:
+def _run_leg(cores_max: int, edges_path: str, executor_cores: int,
+             check_interval: int) -> dict:
     env = dict(
         os.environ,
         REPO=REPO,
         CORES_MAX=str(cores_max),
         EDGES_PATH=edges_path,
+        EXEC_CORES=str(executor_cores),
+        CHECK_INTERVAL=str(check_interval),
         SPARK_GRAFT_MASTER="spark://127.0.0.1:7077",
         SPARK_GRAFT_DRIVER_MEM="8g",
     )
@@ -109,6 +121,9 @@ def main() -> None:
     ap.add_argument("--edges-path", default="/tmp/scaling_edges_20m.parquet")
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "CLUSTER.md"))
+    ap.add_argument("--executor-cores", type=int, default=8)
+    ap.add_argument("--check-interval", type=int, default=4)
+    ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
     daemons = [_spawn_daemon(
@@ -119,15 +134,19 @@ def main() -> None:
     for i in range(4):
         daemons.append(_spawn_daemon(
             "org.apache.spark.deploy.worker.Worker", "spark://127.0.0.1:7077",
-            "-c", "8", "-m", "12g", "--webui-port", str(8092 + i),
+            "-c", str(args.executor_cores), "-m", "12g",
+            "--webui-port", str(8092 + i),
         ))
     time.sleep(10)
 
     try:
         lo_runs, hi_runs = [], []
+        k = args.executor_cores
         for _ in range(args.repeat):
-            lo_runs.append(_run_leg(8, args.edges_path))
-            hi_runs.append(_run_leg(32, args.edges_path))
+            lo_runs.append(_run_leg(k, args.edges_path, k, args.check_interval))
+            hi_runs.append(
+                _run_leg(4 * k, args.edges_path, k, args.check_interval)
+            )
         lo = max(lo_runs, key=lambda r: r["edges_per_sec"])
         hi = max(hi_runs, key=lambda r: r["edges_per_sec"])
         eff = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4.0
@@ -157,10 +176,16 @@ workers still share this one host's silicon: the measured pure-CPU
 ceiling for 8→32 threads here is ~0.88, and memory bandwidth is
 shared — both disappear on a real 4-node cluster.
 """
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        with open(args.out, "w") as fh:
-            fh.write(md)
-        print(json.dumps({"N": lo, "4N": hi, "scaling_efficiency": round(eff, 3)}))
+        if not args.json_only:
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            with open(args.out, "w") as fh:
+                fh.write(md)
+        print(json.dumps({
+            "N": lo, "4N": hi, "scaling_efficiency": round(eff, 3),
+            "executor_cores": k, "check_interval": args.check_interval,
+            "N_samples": [r["seconds"] for r in lo_runs],
+            "hi_samples": [r["seconds"] for r in hi_runs],
+        }))
     finally:
         for d in daemons:
             d.terminate()
