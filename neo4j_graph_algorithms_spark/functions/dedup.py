@@ -43,16 +43,33 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _spill_pin(df: DataFrame, pin: bool) -> DataFrame:
+    """MERGE-pin a join side that scales with the corpus (keep-lists,
+    band lists, candidate pairs, the shingle table itself): the
+    planner's post-agg/post-checkpoint size estimates can be
+    arbitrarily wrong, and a mispicked broadcast OOMs the driver while
+    a shuffled-hash build of a corpus-sized side exceeds task memory —
+    sort-merge sorts-and-spills, the only shape that degrades
+    gracefully at 100 TB.  ``pin=False`` (the
+    ``pin_spilling_joins=False`` escape hatch, same contract as
+    textstats' ``broadcast_vocab``) restores full planner freedom for
+    small corpora where a broadcast genuinely fits."""
+    return df.hint("MERGE") if pin else df
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pin_spilling_joins: bool = True,
+) -> DataFrame:
     """Rows surviving exact dedup (min-id per text hash)."""
     keep = exact_duplicates(df, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    # MERGE: the keep-list is ~|distinct texts| — nearly the whole
-    # corpus at scale.  The planner's post-agg size estimate can
-    # wrongly pick a driver broadcast of it, and a shuffled-hash build
-    # of a corpus-sized side can exceed task memory; sort-merge spills.
-    return df.join(keep.hint("MERGE"), id_col, "left_semi")
+    # the keep-list is ~|distinct texts| — nearly the whole corpus at
+    # scale (see _spill_pin)
+    return df.join(_spill_pin(keep, pin_spilling_joins), id_col, "left_semi")
 
 
 def minhash_signatures(
@@ -116,6 +133,7 @@ def minhash_lsh_candidates(
     shingle_size: int = 3,
     num_partitions: int | None = None,
     max_band_df: int | None = None,
+    pin_spilling_joins: bool = True,
 ) -> DataFrame:
     """``(id_a, id_b)`` candidate near-duplicate pairs (id_a < id_b):
     docs sharing at least one LSH band.  bands × rows = num_hashes.
@@ -159,11 +177,9 @@ def minhash_lsh_candidates(
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
     if max_band_df is not None:
-        # MERGE: the keep-list is the UNDER-guard buckets — at corpus
-        # scale that is nearly every bucket (~|docs|·bands rows): too
-        # big for the auto-broadcast the planner's post-filter estimate
-        # may pick, and big enough that a shuffled-hash build can
-        # exceed task memory; sort-merge spills instead of OOMing
+        # the keep-list is the UNDER-guard buckets — at corpus scale
+        # that is nearly every bucket (~|docs|·bands rows); see
+        # _spill_pin for why it defaults to a MERGE pin
         small = (
             banded.groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -171,7 +187,9 @@ def minhash_lsh_candidates(
             .select("band", "band_hash")
         )
         banded = banded.join(
-            small.hint("MERGE"), ["band", "band_hash"], "left_semi"
+            _spill_pin(small, pin_spilling_joins),
+            ["band", "band_hash"],
+            "left_semi",
         )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -194,6 +212,7 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = 10,
+    pin_spilling_joins: bool = True,
 ) -> DataFrame:
     """``(id_a, id_b, jaccard)`` over word-n-gram shingle sets.
 
@@ -213,10 +232,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_shingle_df)
             .select("s")
         )
-        # MERGE: the rare-shingle keep-list is ~|distinct shingles|
-        # (most shingles are rare) — far too big to broadcast, and big
-        # enough that a shuffled-hash build can exceed task memory
-        cand_sh = sh.join(rare.hint("MERGE"), "s", "left_semi")
+        # the rare-shingle keep-list is ~|distinct shingles| (most
+        # shingles are rare) — see _spill_pin
+        cand_sh = sh.join(_spill_pin(rare, pin_spilling_joins), "s", "left_semi")
     pairs = (
         cand_sh.alias("a")
         .join(cand_sh.alias("b"), "s")
@@ -224,35 +242,33 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # MERGE on both unbounded sides: |pairs| grows with the corpus
-    # and the b-side is the FULL corpus shingle table.  The planner's
-    # size estimate for either can be arbitrarily wrong after
-    # checkpoints/aggregates — a mispicked broadcast OOMs the driver
-    # (observed: it broadcast all ~38M shingle rows at a 1M-doc run),
-    # and a shuffled-hash build of a corpus-sized side exceeds task
-    # memory; sort-merge sorts-and-spills, the only shape that
-    # degrades gracefully at 100 TB
+    # both sides unbounded: |pairs| grows with the corpus and the
+    # b-side is the FULL corpus shingle table (observed: the planner
+    # broadcast all ~38M shingle rows at a 1M-doc run) — see _spill_pin
     inter = (
         sh.alias("a")
-        .join(pairs.hint("MERGE"), F.col("a.id") == F.col("id_a"))
+        .join(_spill_pin(pairs, pin_spilling_joins), F.col("a.id") == F.col("id_a"))
         .join(
-            sh.alias("b").hint("MERGE"),
+            _spill_pin(sh.alias("b"), pin_spilling_joins),
             (F.col("b.id") == F.col("id_b")) & (F.col("a.s") == F.col("b.s")),
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    # MERGE: sizes is one row per document — corpus-sized, not
-    # broadcastable, and safest as a spilling sort-merge build
+    # sizes is one row per document — corpus-sized (see _spill_pin)
     out = (
         inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-            .hint("MERGE"),
+            _spill_pin(
+                sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
+                pin_spilling_joins,
+            ),
             "id_a",
         )
         .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-            .hint("MERGE"),
+            _spill_pin(
+                sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")),
+                pin_spilling_joins,
+            ),
             "id_b",
         )
         .select(

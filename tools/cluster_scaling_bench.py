@@ -150,17 +150,32 @@ def main() -> None:
         lo = max(lo_runs, key=lambda r: r["edges_per_sec"])
         hi = max(hi_runs, key=lambda r: r["edges_per_sec"])
         eff = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4.0
+        # cite the host's measured pure-CPU ceiling only for the
+        # topology it was measured on (8 -> 32 worker threads)
+        ceiling_note = (
+            "The four workers still share this one host's silicon: the\n"
+            "measured pure-CPU ceiling for 8→32 threads here is ~0.88, and\n"
+            "memory bandwidth is shared — both disappear on a real 4-node\n"
+            "cluster.\n"
+            if k == 8
+            else
+            f"The four workers still share this one host's silicon (memory\n"
+            f"bandwidth and SMT), though at {k}→{4 * k} total cores both\n"
+            f"cluster sizes sit well below the box's 32-thread saturation\n"
+            f"point — the regime where the engine ratio, not the host\n"
+            f"ceiling, is what the measurement reads.\n"
+        )
         md = f"""# BENCH/CLUSTER — standalone multi-executor scaling evidence
 
-Local standalone Spark cluster (one master, four 8-core / 12g worker
+Local standalone Spark cluster (one master, four {k}-core / 12g worker
 JVMs on this host, spark.deploy.spreadOut=false), identical PageRank
-job (supersteps to 1e-6 convergence, tolerance_check_interval=4) at
-two cluster sizes:
+job (supersteps to 1e-6 convergence,
+tolerance_check_interval={args.check_interval}) at two cluster sizes:
 
 | level | executors | total cores | edges | supersteps | seconds | edges/sec |
 |---|---|---|---|---|---|---|
-| N  | 1 × 8 cores | 8  | {lo['edges']} | {lo['supersteps']} | {lo['seconds']} | {lo['edges_per_sec']} |
-| 4N | 4 × 8 cores | 32 | {hi['edges']} | {hi['supersteps']} | {hi['seconds']} | {hi['edges_per_sec']} |
+| N  | 1 × {k} cores | {k}  | {lo['edges']} | {lo['supersteps']} | {lo['seconds']} | {lo['edges_per_sec']} |
+| 4N | 4 × {k} cores | {4 * k} | {hi['edges']} | {hi['supersteps']} | {hi['seconds']} | {hi['edges_per_sec']} |
 
 scaling_efficiency = (edges_per_sec_4N / edges_per_sec_N) / 4 = **{eff:.3f}**
 
@@ -171,11 +186,8 @@ All samples (seconds, interleaved run order):
 Each executor is a separate JVM with its own 10g heap and GC and its
 own shuffle server — the actual multi-executor execution path the
 north rule's N/4N criterion describes, unlike local[k] (one JVM whose
-single 48g heap made GC ~32% of the 32-thread leg's wall).  The four
-workers still share this one host's silicon: the measured pure-CPU
-ceiling for 8→32 threads here is ~0.88, and memory bandwidth is
-shared — both disappear on a real 4-node cluster.
-"""
+single 48g heap made GC ~32% of the 32-thread leg's wall).
+{ceiling_note}"""
         if not args.json_only:
             os.makedirs(os.path.dirname(args.out), exist_ok=True)
             with open(args.out, "w") as fh:
@@ -184,7 +196,7 @@ shared — both disappear on a real 4-node cluster.
             "N": lo, "4N": hi, "scaling_efficiency": round(eff, 3),
             "executor_cores": k, "check_interval": args.check_interval,
             "N_samples": [r["seconds"] for r in lo_runs],
-            "hi_samples": [r["seconds"] for r in hi_runs],
+            "4N_samples": [r["seconds"] for r in hi_runs],
         }))
     finally:
         for d in daemons:
