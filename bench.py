@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "wcc_twophase_cop",   # star-contraction CC (O(log n) rounds)
     "k_truss_cop",        # triangle-support peeling
     "k_truss_multi_cop",  # 3 k-trusses in one shared peel (≤1.3x single-k)
+    "k_truss_spectrum_cop",  # full truss decomposition, one enumeration
     "fastrp_cop",         # random-projection embeddings (zero global aggs)
     "dedup_exact_docs",
     "repeated_spans_docs",  # exact-substring dedup spans

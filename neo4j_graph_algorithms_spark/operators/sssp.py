@@ -267,6 +267,8 @@ def all_shortest_paths_weighted(
     graph: Graph,
     sources: list[int] | DataFrame | None = None,
     max_iterations: int = 10_000,
+    delta: float | None = None,
+    metrics: list[dict] | None = None,
 ) -> DataFrame:
     """``(source_node_id, target_node_id, distance)`` — weighted
     all-pairs shortest paths, the missing twin of the reference's
@@ -291,7 +293,28 @@ def all_shortest_paths_weighted(
     advance in the same three dataflow ops, so superstep count is
     max-hops over sources, not Σ.  The distance map grows toward
     Σ reachable(source) rows — intrinsic to APSP output, and the
-    reason ``sources`` exists.  Exact on non-negative weights."""
+    reason ``sources`` exists.  Exact on non-negative weights.
+
+    ``delta`` enables the delta-stepping bucket discipline of the
+    single-source loop (``shortest_paths(delta=...)``), batched on a
+    per-source key: each superstep relaxes only each source's lowest
+    open distance bucket (frontier rows with ``distance <
+    (⌊min_open/δ⌋+1)·δ`` for THEIR source — the per-source threshold is
+    a groupBy-min joined back, not a driver round-trip); rows in higher
+    buckets are deferred and min-merged into the next frontier.  Same
+    exact distances (bucketing only defers, never drops); the trade is
+    the classic delta-stepping one — more supersteps, but each relaxes
+    far fewer speculative rows whose distances a later, cheaper path
+    would have re-improved.  On a high-diameter weighted chain fixture
+    (tests/test_breadth_ops.py) the relaxation volume drops while the
+    hash-identical result is preserved; with ``delta=None`` (default)
+    the loop is plain batched Bellman-Ford, best for small-diameter
+    graphs where supersteps are the scarce resource.
+
+    ``metrics``: optional caller-owned list; one dict per superstep is
+    appended (``iteration``, ``relaxed_rows`` = frontier rows actually
+    scattered this round, ``improved``) — the observable the delta A/B
+    (tools/apsp_delta_ab.py) compares across disciplines."""
     spark = graph.spark
     inf = float("inf")
     edges = graph.edges.select("src", "dst", "weight").persist()
@@ -313,9 +336,26 @@ def all_shortest_paths_weighted(
     it = 0
     while it < max_iterations:
         it += 1
+        f = frontier
+        deferred = None
+        if delta is not None:
+            # per-source lowest open bucket: a distributed min + join,
+            # not a driver round-trip (|sources| thresholds per round)
+            bounds = f.groupBy("source").agg(
+                ((F.floor(F.min("distance") / delta) + 1) * delta).alias("bend")
+            )
+            bounded = f.join(bounds.hint("SHUFFLE_HASH"), "source")
+            deferred = bounded.filter(F.col("distance") >= F.col("bend")).select(
+                "source", "id", "distance"
+            )
+            f = bounded.filter(F.col("distance") < F.col("bend")).select(
+                "source", "id", "distance"
+            )
+        if metrics is not None:
+            relaxed_rows = f.count()
         relax = (
             edges.join(
-                frontier.select(
+                f.select(
                     F.col("id").alias("src"), "source", F.col("distance").alias("d")
                 ).hint("SHUFFLE_HASH"),
                 "src",
@@ -337,13 +377,35 @@ def all_shortest_paths_weighted(
         )
         joined = truncate_lineage(joined, eager=False)
         improved = joined.filter(F.col("improved")).count()  # full materialize
+        if metrics is not None:
+            metrics.append(
+                {
+                    "algorithm": "apsp_weighted",
+                    "iteration": it,
+                    "relaxed_rows": int(relaxed_rows),
+                    "improved": int(improved),
+                }
+            )
         dist = joined.select("source", "id", "distance")
         frontier = joined.filter(F.col("improved")).select(
             "source", "id", "distance"
         )
-        cache.track(joined)
-        if improved == 0:
-            break
+        if deferred is not None:
+            # min-merge: a deferred row whose distance improved this
+            # round appears in both branches; keep the smaller distance
+            frontier = (
+                frontier.unionByName(deferred)
+                .groupBy("source", "id")
+                .agg(F.min("distance").alias("distance"))
+            )
+            frontier = truncate_lineage(frontier)  # eager
+            cache.track(joined, frontier)
+            if improved == 0 and frontier.isEmpty():
+                break
+        else:
+            cache.track(joined)
+            if improved == 0:
+                break
     out = truncate_lineage(
         dist.select(
             F.col("source").alias("source_node_id"),

@@ -222,22 +222,57 @@ def register_optional_decoders() -> dict[str, bool]:
 # --------------------------------------------------------------------- #
 # deterministic synthetic media (REAL encoded payloads)
 # --------------------------------------------------------------------- #
-def make_bmp(seed: int, w: int = 16, h: int = 16) -> bytes:
-    """24-bit BMP with a seed-dependent deterministic gradient."""
+def _bmp_encode(w: int, h: int, pix) -> bytes:
+    """24-bit bottom-up BMP from ``pix(x, y) -> (r, g, b)``."""
     row = (w * 3 + 3) & ~3
     px = bytearray()
     for y in range(h - 1, -1, -1):            # bottom-up
         line = bytearray()
         for x in range(w):
-            r = (seed * 37 + x * 11 + y * 7) % 256
-            g = (seed * 57 + x * 5 + y * 13) % 256
-            b = (seed * 97 + x * 3 + y * 17) % 256
+            r, g, b = pix(x, y)
             line += bytes((b, g, r))          # BGR on disk
         line += b"\x00" * (row - len(line))
         px += line
     header = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
     return bytes(header + info + px)
+
+
+def make_bmp(seed: int, w: int = 16, h: int = 16) -> bytes:
+    """24-bit BMP with a seed-dependent deterministic gradient."""
+
+    def pix(x: int, y: int) -> tuple[int, int, int]:
+        return (
+            (seed * 37 + x * 11 + y * 7) % 256,
+            (seed * 57 + x * 5 + y * 13) % 256,
+            (seed * 97 + x * 3 + y * 17) % 256,
+        )
+
+    return _bmp_encode(w, h, pix)
+
+
+def make_bmp_div3(seed: int, w: int = 16, h: int = 16) -> bytes:
+    """``make_bmp`` variant whose per-pixel channel sum r+g+b is
+    divisible by 3 (the blue channel is nudged down by (r+g+b) mod 3,
+    wrapping +3 below zero).  Purpose: gray = (r+g+b)/3 is then an
+    exact small integer in float64, so every downstream feature value
+    (4×4 block means /16, channel means /256, the final /255) is
+    bit-identical no matter the summation order — numpy's pairwise
+    mean, a SQL engine's sequential SUM, and a hand calculator all
+    produce the same doubles.  This is what lets the multimodal driver
+    queries carry an EXACT DuckDB oracle over the real decode path."""
+
+    def pix(x: int, y: int) -> tuple[int, int, int]:
+        r = (seed * 37 + x * 11 + y * 7) % 256
+        g = (seed * 57 + x * 5 + y * 13) % 256
+        b0 = (seed * 97 + x * 3 + y * 17) % 256
+        m = (r + g + b0) % 3
+        b = b0 - m
+        if b < 0:
+            b += 3
+        return (r, g, b)
+
+    return _bmp_encode(w, h, pix)
 
 
 def make_wav(seed: int, sample_rate: int = 8000, ms: int = 125) -> bytes:
@@ -253,6 +288,29 @@ def make_wav(seed: int, sample_rate: int = 8000, ms: int = 125) -> bytes:
             struct.pack(
                 "<h", int(20000 * math.sin(2 * math.pi * freq * i / sample_rate))
             )
+            for i in range(n)
+        )
+        wv.writeframes(frames)
+    return buf.getvalue()
+
+
+def make_wav_int(seed: int, sample_rate: int = 8000, ms: int = 125) -> bytes:
+    """Mono 16-bit PCM WAV whose samples are pure integer arithmetic,
+    ``s_i = ((seed·31 + i·17) mod 4001) − 2000`` — no libm, so an SQL
+    oracle replays the exact samples.  Every RMS-feature intermediate
+    is then exact in float64 (s/32768 and (s/32768)² are dyadic
+    rationals on a 2⁻³⁰ grid; window sums stay under 2³⁶ so every
+    partial sum is exact and order-independent), leaving one division
+    and one sqrt per window — single operations on identical inputs,
+    hence bit-identical across engines."""
+    n = sample_rate * ms // 1000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        frames = b"".join(
+            struct.pack("<h", ((seed * 31 + i * 17) % 4001) - 2000)
             for i in range(n)
         )
         wv.writeframes(frames)

@@ -852,3 +852,30 @@ def test_all_shortest_paths_weighted_matches_dijkstra(spark):
     # sources=None covers every vertex
     full = all_shortest_paths_weighted(g)
     assert full.filter(F.col("source_node_id") == F.col("target_node_id")).count() == 7
+
+
+def test_all_shortest_paths_weighted_delta_identical(spark):
+    """Per-source delta bucketing (delta-stepping discipline on the
+    batched loop) defers but never drops: distances are identical to
+    the plain Bellman-Ford run on a weighted high-diameter chain with
+    tempting-but-wrong heavy shortcuts (the shape where BF floods
+    speculative relaxations that the bucket discipline avoids)."""
+    from neo4j_graph_algorithms_spark.operators import all_shortest_paths_weighted
+
+    # chain 0-1-...-19 of weight-1 links + heavy shortcuts 0->k of
+    # weight k+5 (each improved later by the cheap chain path)
+    edges = [(i, i + 1, 1.0) for i in range(19)]
+    edges += [(0, k, float(k + 5)) for k in range(5, 19, 3)]
+    g = Graph.from_edge_list(spark, edges, vertices=range(20))
+    plain = {
+        (r["source_node_id"], r["target_node_id"]): r["distance"]
+        for r in all_shortest_paths_weighted(g, sources=[0, 3]).collect()
+    }
+    bucketed = {
+        (r["source_node_id"], r["target_node_id"]): r["distance"]
+        for r in all_shortest_paths_weighted(
+            g, sources=[0, 3], delta=4.0
+        ).collect()
+    }
+    assert plain == bucketed
+    assert plain[(0, 18)] == 18.0          # chain beats every shortcut

@@ -174,3 +174,29 @@ def test_soundfile_decoder_feature_parity():
         assert sf_["feature"] == pytest.approx(std["feature"], abs=1e-6)
     finally:
         mm.register_decoder("audio", before)
+
+
+def test_make_bmp_div3_channel_sums_divisible():
+    """The oracle-replicable BMP variant: every pixel's r+g+b ≡ 0 mod 3
+    (the exactness precondition for the multimodal driver oracle), and
+    the payload still decodes through the real BMP path."""
+    out = mm._image_decode(mm.make_bmp_div3(7))
+    assert out["decode_ok"] and out["frames"] == 1
+    rgb = mm._decode_bmp(mm.make_bmp_div3(7)).astype(int)
+    assert ((rgb.sum(axis=2) % 3) == 0).all()
+    # gray block sums are exact integers => features are exact dyadic
+    # rationals; spot-check one thumb cell against hand arithmetic
+    gray = rgb.sum(axis=2) // 3
+    want = (float(gray[:4, :4].sum()) / 16) / 255
+    assert out["feature"][0] == want
+
+
+def test_make_wav_int_decode_exact_rms():
+    """Integer-arithmetic WAV: decoded samples replay the generator
+    formula exactly and the first RMS window equals hand arithmetic."""
+    data = mm.make_wav_int(3)
+    out = mm._audio_decode(data)
+    assert out["decode_ok"] and out["frames"] == 1000
+    s = [((3 * 31 + i * 17) % 4001) - 2000 for i in range(1000)]
+    acc = sum((v / 32768.0) * (v / 32768.0) for v in s[:63])
+    assert out["feature"][0] == math.sqrt(acc / 63)

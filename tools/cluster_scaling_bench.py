@@ -71,8 +71,15 @@ from neo4j_graph_algorithms_spark import Graph, pagerank
 from neo4j_graph_algorithms_spark.session import get_spark
 
 cores_max = int(os.environ["CORES_MAX"])
+# partitions = part_factor x cores: >1 overdecomposes so each stage
+# schedules several waves per core — a straggling task then costs a
+# fraction of a wave instead of a whole stage-wide barrier stall.  The
+# penalty grows with task count on the WIDE leg (E[max]/E[mean] rises
+# with the number of parallel tasks), so partitions == cores reads as
+# lost scaling efficiency that is really scheduling granularity.
+part_factor = int(os.environ.get("PART_FACTOR", "1"))
 spark = get_spark(app_name=f"cluster-leg-{cores_max}",
-                  shuffle_partitions=cores_max,
+                  shuffle_partitions=cores_max * part_factor,
                   extra_conf={
                       "spark.executor.memory": "10g",
                       "spark.executor.cores": os.environ["EXEC_CORES"],
@@ -97,7 +104,7 @@ spark.stop()
 
 
 def _run_leg(cores_max: int, edges_path: str, executor_cores: int,
-             check_interval: int) -> dict:
+             check_interval: int, part_factor: int = 1) -> dict:
     env = dict(
         os.environ,
         REPO=REPO,
@@ -105,6 +112,7 @@ def _run_leg(cores_max: int, edges_path: str, executor_cores: int,
         EDGES_PATH=edges_path,
         EXEC_CORES=str(executor_cores),
         CHECK_INTERVAL=str(check_interval),
+        PART_FACTOR=str(part_factor),
         SPARK_GRAFT_MASTER="spark://127.0.0.1:7077",
         SPARK_GRAFT_DRIVER_MEM="8g",
     )
@@ -123,6 +131,10 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "CLUSTER.md"))
     ap.add_argument("--executor-cores", type=int, default=8)
     ap.add_argument("--check-interval", type=int, default=4)
+    ap.add_argument("--part-factor", type=int, default=1,
+                    help="shuffle partitions = factor x cores.max "
+                         "(overdecomposition smooths stragglers on the "
+                         "wide leg; applied to BOTH legs)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -143,10 +155,12 @@ def main() -> None:
         lo_runs, hi_runs = [], []
         k = args.executor_cores
         for _ in range(args.repeat):
-            lo_runs.append(_run_leg(k, args.edges_path, k, args.check_interval))
-            hi_runs.append(
-                _run_leg(4 * k, args.edges_path, k, args.check_interval)
-            )
+            lo_runs.append(_run_leg(
+                k, args.edges_path, k, args.check_interval, args.part_factor
+            ))
+            hi_runs.append(_run_leg(
+                4 * k, args.edges_path, k, args.check_interval, args.part_factor
+            ))
         lo = max(lo_runs, key=lambda r: r["edges_per_sec"])
         hi = max(hi_runs, key=lambda r: r["edges_per_sec"])
         eff = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4.0
@@ -194,6 +208,7 @@ single 48g heap made GC ~32% of the 32-thread leg's wall).
                 fh.write(md)
         print(json.dumps({
             "N": lo, "4N": hi, "scaling_efficiency": round(eff, 3),
+            "part_factor": args.part_factor,
             "executor_cores": k, "check_interval": args.check_interval,
             "N_samples": [r["seconds"] for r in lo_runs],
             "4N_samples": [r["seconds"] for r in hi_runs],
