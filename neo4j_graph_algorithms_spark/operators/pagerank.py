@@ -63,13 +63,25 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import os as _os
+
 from ..graph import Graph
 from ..plans.checkpoint import (
     SuperstepCache,
     SuperstepCheckpointer,
     aqe_suspended,
+    shuffle_partitions_override,
     skew_ratio,
     truncate_lineage,
+)
+
+#: per-partition hash-build budget for the superstep joins (bytes).
+#: A LongHashedRelation build that outgrows the task memory grant
+#: fails hard ("Can't acquire N bytes memory to build hash relation");
+#: 128 MiB stays far under any sane task grant while never triggering
+#: at bench scale.  Override via SPARK_GRAFT_SHJ_BUILD_TARGET.
+_SHJ_BUILD_TARGET = int(
+    _os.environ.get("SPARK_GRAFT_SHJ_BUILD_TARGET", str(128 << 20))
 )
 
 
@@ -253,6 +265,7 @@ def _run_edges_fold(
     source_nodes: list[int] | None,
     tolerance_check_interval: int,
     outdeg_offset: float,
+    set_shuffle_partitions=None,
 ) -> PageRankResult:
     """The hot-path superstep loop (storage='edges', no checkpointer):
     **message-fold PageRank** — there is NO per-superstep |V|-row state
@@ -325,12 +338,10 @@ def _run_edges_fold(
             )
             .select("src", "dst", F.coalesce("odeg", F.lit(0)).alias("odeg"))
         )
-    edges = edges.repartition(n_part, "src").persist()
-    edges.count()
     # vertex set from the cached base (graph.vertices would re-run the
-    # user subtree when no explicit vertex table was provided); the
-    # rank/frontier inits below are EAGER truncations, so base is still
-    # cached when these lazy views materialize — unpersisted right after
+    # user subtree when no explicit vertex table was provided);
+    # materialized (eager truncation) BEFORE the loop partitioning is
+    # fixed so |V| can size it — see the build-side guard below
     if graph._vertices is not None:  # noqa: SLF001
         verts = graph.vertices
     elif graph.symmetrized:
@@ -341,6 +352,47 @@ def _run_edges_fold(
             .union(base.select(F.col("dst").alias("id")))
             .distinct()
         )
+    verts = truncate_lineage(verts.repartition(n_part, "id"))
+    n_vertices = verts.count()
+    cache = SuperstepCache(spark)
+    cache.track(verts)  # retired once ranks/frontier adopt below
+
+    # ------------------------------------------------------------------
+    # Build-side memory guard (found by the 160M-edge / 2-partition
+    # criterion leg, which died with "Can't acquire 1073741824 bytes
+    # memory to build hash relation"): the superstep scatter join
+    # builds a per-partition hash of the FRONTIER (up to |V| rows), and
+    # the per-batch fold join builds one of the k-level message arrays
+    # (|V| rows × ~(8 + 24k) bytes).  Neither scales with executor
+    # count — only with |V|/n_part — so partitions==cores on a narrow
+    # cluster, or any 100-TB run with conservatively few partitions,
+    # eventually exceeds a task's memory grant.  Two mechanisms, both
+    # plan-level (results bit-identical):
+    #   1. floor n_part so the frontier hash build stays under
+    #      _SHJ_BUILD_TARGET bytes per partition (~48 B/row in
+    #      LongHashedRelation) — partition sizing, the fix the brief
+    #      prescribes ("size shuffle partitions so partitions fit");
+    #   2. when the fold's array build would still exceed the target,
+    #      switch THAT join to sort-merge (MERGE hint): it
+    #      sorts-and-spills instead of failing a 1 GB+ allocation —
+    #      the same degrade-gracefully shape as the dedup tier's
+    #      corpus-sized joins.
+    # At bench scales (|V| ≤ 5M, 32 partitions) neither triggers, so
+    # the measured north plans are unchanged.
+    # ------------------------------------------------------------------
+    shj_target = int(_SHJ_BUILD_TARGET)
+    needed = -(-n_vertices * 48 // shj_target)  # ceil
+    if needed > n_part:
+        n_part = int(needed)
+        if set_shuffle_partitions is not None:
+            # the per-superstep groupBy exchanges read the session
+            # conf; raise it too (restore-guaranteed by the caller's
+            # shuffle_partitions_override) so gather output partitioning
+            # keeps matching the edge table — the SHUFFLE_HASH scatter
+            # join stays zero-exchange
+            set_shuffle_partitions(n_part)
+    edges = edges.repartition(n_part, "src").persist()
+    edges.count()
 
     def denom(col):
         return col + F.lit(outdeg_offset) if outdeg_offset else col
@@ -367,13 +419,19 @@ def _run_edges_fold(
         )
     frontier = truncate_lineage(frontier)
     base.unpersist()  # every downstream read now hits `edges`/the inits
-    cache = SuperstepCache(spark)
     cache.track(ranks, frontier)
     load_millis = int(1000 * (time.time() - t_load0))
     t_compute0 = time.time()
 
     interval = max(
         1, int(tolerance_check_interval if tolerance is not None else aggregate_interval)
+    )
+    # fold-join strategy by estimated per-partition build bytes (guard
+    # mechanism 2 above); at bench scale this stays SHUFFLE_HASH
+    fold_hint = (
+        "MERGE"
+        if n_vertices * (8 + 24 * interval) // n_part > shj_target
+        else "SHUFFLE_HASH"
     )
     metrics: list[dict] = []
     batch: list[tuple[int, DataFrame]] = []
@@ -425,7 +483,7 @@ def _run_edges_fold(
                 # carried it reproduces it for the frontier rebuild
                 arr_aggs.append(F.max("odeg").alias("odeg"))
             arr = tagged.groupBy("id").agg(*arr_aggs)
-            folded = ranks.join(arr.hint("SHUFFLE_HASH"), "id", "left").select(
+            folded = ranks.join(arr.hint(fold_hint), "id", "left").select(
                 "id",
                 F.when(F.col("am").isNull(), F.col("rank"))
                 .otherwise(
@@ -541,17 +599,19 @@ def _run(
         # state-join loop below remains for durable checkpoint/resume
         # (needs per-superstep (rank, delta) rows), the broadcast
         # A/B knob, the skew metric, and adjacency storage.
-        return _run_edges_fold(
-            graph,
-            damping,
-            max_iterations,
-            tolerance,
-            aggregate_interval,
-            weighted,
-            source_nodes,
-            tolerance_check_interval,
-            outdeg_offset,
-        )
+        with shuffle_partitions_override(graph.spark) as set_np:
+            return _run_edges_fold(
+                graph,
+                damping,
+                max_iterations,
+                tolerance,
+                aggregate_interval,
+                weighted,
+                source_nodes,
+                tolerance_check_interval,
+                outdeg_offset,
+                set_shuffle_partitions=set_np,
+            )
     spark = graph.spark
     t_load0 = time.time()
     d = float(damping)

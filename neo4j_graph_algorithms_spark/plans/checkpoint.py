@@ -104,6 +104,26 @@ _AQE_STATE: dict[int, tuple[int, str]] = {}  # session hash -> (depth, saved)
 
 
 @contextmanager
+def shuffle_partitions_override(spark: SparkSession):
+    """Yield a setter for ``spark.sql.shuffle.partitions`` whose effect
+    is guaranteed to be rolled back when the block exits — the
+    restore-safe way for an operator to raise the session's partition
+    count mid-run (e.g. the fold engine's build-side memory floor,
+    which learns |V| only after the load phase has begun).  The setter
+    may be called zero or more times; the ORIGINAL value is restored
+    exactly once."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions", "200")
+
+    def set_np(n: int) -> None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+
+    try:
+        yield set_np
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+@contextmanager
 def aqe_suspended(spark: SparkSession, enabled: bool = False):
     if enabled:  # caller asked to leave AQE alone
         yield

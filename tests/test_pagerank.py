@@ -143,3 +143,36 @@ def test_pagerank_personalized_unreached_stay_zero(spark):
     assert got[1] == pytest.approx(0.15 * 0.85)
     assert got[2] == pytest.approx(0.15 * 0.85 * 0.85)
     assert got[3] == 0.0 and got[4] == 0.0
+
+
+def test_fold_build_side_guard_identical_results(spark, f1_graph):
+    """The build-side memory guard (n_part floor + MERGE fold switch —
+    found by the 160M-edge criterion leg OOM) is plan-only: forcing it
+    on with a tiny byte target must reproduce the unguarded scores
+    exactly and restore spark.sql.shuffle.partitions afterwards."""
+    import importlib
+
+    prmod = importlib.import_module(
+        "neo4j_graph_algorithms_spark.operators.pagerank"
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {
+        r["id"]: r["score"]
+        for r in pagerank(
+            f1_graph, max_iterations=20, tolerance_check_interval=8
+        ).scores.collect()
+    }
+    saved = prmod._SHJ_BUILD_TARGET
+    try:
+        prmod._SHJ_BUILD_TARGET = 1024          # floor + MERGE both trigger
+        guarded = {
+            r["id"]: r["score"]
+            for r in pagerank(
+                f1_graph, max_iterations=20, tolerance_check_interval=8
+            ).scores.collect()
+        }
+    finally:
+        prmod._SHJ_BUILD_TARGET = saved
+    assert guarded == base
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
