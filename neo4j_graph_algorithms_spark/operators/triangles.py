@@ -30,8 +30,26 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import os as _os
+
 from ..graph import Graph
-from ..plans.checkpoint import truncate_lineage
+from ..plans.checkpoint import (
+    aqe_suspended,
+    shuffle_partitions_override,
+    truncate_lineage,
+)
+
+#: per-partition budget for the pipeline's |E|-row SHUFFLE_HASH build
+#: sides (the wedge edge-existence map and the closing-edge set, ~48
+#: B/row hashed).  The 10^8-edge scale smoke OOM'd the closing-edge
+#: build on an 8g local JVM once the cached oriented edges squeezed
+#: the execution pool; flooring shuffle partitions to keep each build
+#: under this budget makes the pipeline degrade into more waves
+#: instead of failing an allocation.  Bench scale (1.2M edges, 32
+#: partitions) never triggers.  Override: SPARK_GRAFT_TRI_BUILD_TARGET.
+_TRI_BUILD_TARGET = int(
+    _os.environ.get("SPARK_GRAFT_TRI_BUILD_TARGET", str(16 << 20))
+)
 
 
 @dataclass
@@ -42,7 +60,9 @@ class TriangleCountResult:
     average_coefficient: float
 
 
-def _oriented_edges(graph: Graph) -> tuple[DataFrame, DataFrame, DataFrame]:
+def _oriented_edges(
+    graph: Graph, set_shuffle_partitions=None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(oriented edges with order keys, undirected degrees, vertex table).
 
     Orientation key is (undirected degree, id); the oriented edge goes
@@ -67,6 +87,17 @@ def _oriented_edges(graph: Graph) -> tuple[DataFrame, DataFrame, DataFrame]:
         )
         und = e0.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
     und = truncate_lineage(und)  # eager — frees base for the joins below
+    if set_shuffle_partitions is not None:
+        # |E|-keyed partition floor (see _TRI_BUILD_TARGET): every
+        # downstream join/groupBy reads the session conf, so raising it
+        # here (restore-guaranteed by the caller's
+        # shuffle_partitions_override) resizes the whole pipeline
+        n_und = und.count()  # cheap: counts the fresh checkpoint RDD
+        spark = graph.spark
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        needed = -(-n_und * 48 // _TRI_BUILD_TARGET)  # ceil
+        if needed > n_part:
+            set_shuffle_partitions(needed)
     if graph._vertices is not None:  # noqa: SLF001
         verts = graph.vertices
     else:
@@ -162,8 +193,11 @@ def triangle_stream(graph: Graph) -> DataFrame:
     The oriented edge set is materialized once (eager lineage cut) so
     the three self-join branches read a cached copy instead of
     recomputing the degree-orientation join per branch."""
-    oriented, _, _ = _oriented_edges(graph)
-    return _wedge_triangles(truncate_lineage(oriented))
+    with aqe_suspended(graph.spark), shuffle_partitions_override(
+        graph.spark
+    ) as set_np:
+        oriented, _, _ = _oriented_edges(graph, set_np)
+        return _wedge_triangles(truncate_lineage(oriented))
 
 
 def triangle_count(graph: Graph, with_summary: bool = True) -> TriangleCountResult:
@@ -173,8 +207,26 @@ def triangle_count(graph: Graph, with_summary: bool = True) -> TriangleCountResu
 
     ``per_node`` is fully materialized before the intermediate triangle
     set is released — consuming the result never re-runs the wedge
-    join, and counts + coefficients come from ONE computation."""
-    oriented, _, verts = _oriented_edges(graph)
+    join, and counts + coefficients come from ONE computation.
+
+    AQE is suspended for the pipeline (same convention as the
+    superstep loops, ``plans/checkpoint.py``): the 10^8-edge scale
+    smoke caught AQE's post-shuffle partition coalescing merging the
+    degree/edge-existence SHUFFLE_HASH build sides into few oversized
+    partitions — a |V|-row build per task then fails its memory grant
+    ("Can't acquire 67108864 bytes to build hash relation").  The
+    hints assume the declared partitioning; AQE re-planning is what
+    they were protecting against."""
+    with aqe_suspended(graph.spark), shuffle_partitions_override(
+        graph.spark
+    ) as set_np:
+        return _triangle_count_impl(graph, with_summary, set_np)
+
+
+def _triangle_count_impl(
+    graph: Graph, with_summary: bool, set_np=None
+) -> TriangleCountResult:
+    oriented, _, verts = _oriented_edges(graph, set_np)
     oe = oriented.persist()
     tri = _wedge_triangles(oe).persist()
     n_triangles = tri.count()
@@ -241,16 +293,19 @@ def transitivity(graph: Graph) -> DataFrame:
     driver-job scalars, no new shuffle shapes.  Returns 0.0 when the
     graph has no wedges.
     """
-    oriented, _, _ = _oriented_edges(graph)
-    oe = oriented.persist()
-    n_tri = _wedge_triangles(oe).count()
-    # sum d*(d-1) as exact long (each term is even) and halve the
-    # scalar — a double sum loses exactness past 2^53 total wedges,
-    # which hub-heavy graphs reach at the advertised scale
-    row = _undirected_degrees(oe).agg(
-        F.sum(F.col("degree").cast("long") * (F.col("degree") - 1)).alias("w")
-    ).first()
-    oe.unpersist()
+    with aqe_suspended(graph.spark), shuffle_partitions_override(
+        graph.spark
+    ) as set_np:
+        oriented, _, _ = _oriented_edges(graph, set_np)
+        oe = oriented.persist()
+        n_tri = _wedge_triangles(oe).count()
+        # sum d*(d-1) as exact long (each term is even) and halve the
+        # scalar — a double sum loses exactness past 2^53 total wedges,
+        # which hub-heavy graphs reach at the advertised scale
+        row = _undirected_degrees(oe).agg(
+            F.sum(F.col("degree").cast("long") * (F.col("degree") - 1)).alias("w")
+        ).first()
+        oe.unpersist()
     wedges = int(row["w"] or 0) // 2
     t = (3.0 * n_tri / wedges) if wedges else 0.0
     return graph.spark.createDataFrame(
