@@ -51,6 +51,13 @@ _TRI_BUILD_TARGET = int(
     _os.environ.get("SPARK_GRAFT_TRI_BUILD_TARGET", str(16 << 20))
 )
 
+#: undirected-edge count below which the pipeline leaves AQE alone:
+#: coalescing small shuffles is a measured win on latency-bound bench
+#: graphs, and builds this small cannot fail their memory grant.
+_TRI_SMALL_EDGES = int(
+    _os.environ.get("SPARK_GRAFT_TRI_SMALL_EDGES", str(5_000_000))
+)
+
 
 @dataclass
 class TriangleCountResult:
@@ -61,7 +68,7 @@ class TriangleCountResult:
 
 
 def _oriented_edges(
-    graph: Graph, set_shuffle_partitions=None
+    graph: Graph, guard_stack=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(oriented edges with order keys, undirected degrees, vertex table).
 
@@ -87,17 +94,30 @@ def _oriented_edges(
         )
         und = e0.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
     und = truncate_lineage(und)  # eager — frees base for the joins below
-    if set_shuffle_partitions is not None:
-        # |E|-keyed partition floor (see _TRI_BUILD_TARGET): every
-        # downstream join/groupBy reads the session conf, so raising it
-        # here (restore-guaranteed by the caller's
-        # shuffle_partitions_override) resizes the whole pipeline
+    if guard_stack is not None:
+        # Size-dependent scale guards, decided once |E| is known and
+        # scoped to the CALLER's ExitStack (restores on its exit):
+        # below _TRI_SMALL_EDGES nothing changes — AQE's partition
+        # coalescing measurably HELPS latency-bound bench graphs
+        # (triangle_counts_cop 11 s with AQE vs 26 s without at sf0.1).
+        # Above it, the 10^8-edge smoke showed AQE coalescing merges
+        # the SHUFFLE_HASH build sides into few oversized partitions
+        # (hash-build allocation failures), so AQE is suspended and
+        # shuffle partitions are floored to keep every |E|-row build
+        # under the _TRI_BUILD_TARGET per-partition budget.
         n_und = und.count()  # cheap: counts the fresh checkpoint RDD
-        spark = graph.spark
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        needed = -(-n_und * 48 // _TRI_BUILD_TARGET)  # ceil
-        if needed > n_part:
-            set_shuffle_partitions(needed)
+        if n_und > _TRI_SMALL_EDGES:
+            spark = graph.spark
+            guard_stack.enter_context(aqe_suspended(spark))
+            set_np = guard_stack.enter_context(
+                shuffle_partitions_override(spark)
+            )
+            n_part = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            needed = -(-n_und * 48 // _TRI_BUILD_TARGET)  # ceil
+            if needed > n_part:
+                set_np(needed)
     if graph._vertices is not None:  # noqa: SLF001
         verts = graph.vertices
     else:
@@ -193,10 +213,10 @@ def triangle_stream(graph: Graph) -> DataFrame:
     The oriented edge set is materialized once (eager lineage cut) so
     the three self-join branches read a cached copy instead of
     recomputing the degree-orientation join per branch."""
-    with aqe_suspended(graph.spark), shuffle_partitions_override(
-        graph.spark
-    ) as set_np:
-        oriented, _, _ = _oriented_edges(graph, set_np)
+    from contextlib import ExitStack
+
+    with ExitStack() as stack:
+        oriented, _, _ = _oriented_edges(graph, stack)
         return _wedge_triangles(truncate_lineage(oriented))
 
 
@@ -209,24 +229,22 @@ def triangle_count(graph: Graph, with_summary: bool = True) -> TriangleCountResu
     set is released — consuming the result never re-runs the wedge
     join, and counts + coefficients come from ONE computation.
 
-    AQE is suspended for the pipeline (same convention as the
-    superstep loops, ``plans/checkpoint.py``): the 10^8-edge scale
-    smoke caught AQE's post-shuffle partition coalescing merging the
-    degree/edge-existence SHUFFLE_HASH build sides into few oversized
-    partitions — a |V|-row build per task then fails its memory grant
-    ("Can't acquire 67108864 bytes to build hash relation").  The
-    hints assume the declared partitioning; AQE re-planning is what
-    they were protecting against."""
-    with aqe_suspended(graph.spark), shuffle_partitions_override(
-        graph.spark
-    ) as set_np:
-        return _triangle_count_impl(graph, with_summary, set_np)
+    Above ``_TRI_SMALL_EDGES`` undirected edges the pipeline suspends
+    AQE and floors shuffle partitions (guards decided in
+    ``_oriented_edges`` once |E| is known — see the inline rationale;
+    both found by the 10^8-edge scale smoke).  Below it, plans are
+    exactly the round-4 bench plans: AQE coalescing measurably helps
+    latency-bound graphs."""
+    from contextlib import ExitStack
+
+    with ExitStack() as stack:
+        return _triangle_count_impl(graph, with_summary, stack)
 
 
 def _triangle_count_impl(
-    graph: Graph, with_summary: bool, set_np=None
+    graph: Graph, with_summary: bool, guard_stack=None
 ) -> TriangleCountResult:
-    oriented, _, verts = _oriented_edges(graph, set_np)
+    oriented, _, verts = _oriented_edges(graph, guard_stack)
     oe = oriented.persist()
     tri = _wedge_triangles(oe).persist()
     n_triangles = tri.count()
@@ -293,10 +311,10 @@ def transitivity(graph: Graph) -> DataFrame:
     driver-job scalars, no new shuffle shapes.  Returns 0.0 when the
     graph has no wedges.
     """
-    with aqe_suspended(graph.spark), shuffle_partitions_override(
-        graph.spark
-    ) as set_np:
-        oriented, _, _ = _oriented_edges(graph, set_np)
+    from contextlib import ExitStack
+
+    with ExitStack() as stack:
+        oriented, _, _ = _oriented_edges(graph, stack)
         oe = oriented.persist()
         n_tri = _wedge_triangles(oe).count()
         # sum d*(d-1) as exact long (each term is even) and halve the
